@@ -1,0 +1,223 @@
+"""Dataset facades: config-instantiated data providers for the drivers.
+
+Capability parity with the reference's eight facade/dataset modules
+(data/robomimic_data.py:202-282, robomimic_latent_data.py,
+robomimic_mixed_data.py, robomimic_mixed_latent_data.py, alohasim_*.py) —
+collapsed into two classes because format (robomimic/aloha), latent
+companions, and mixing are orthogonal flags here, not copy-pasted modules:
+
+- ``OfflineData``: one train + one eval HDF5 (optionally with latent
+  companions), exposing ``train_dataloader() / eval_dataloader() /
+  shape_meta / env_params / meta / name``.
+- ``MixedOfflineData``: K sub-datasets sampled per-item by ``train_split``
+  probabilities (expert first, suboptimal after — ``optimal`` obs flag is 1
+  only for the first, parity with robomimic_mixed_data.py:60).
+
+Batches come from device-resident samplers (windows.py); the returned
+iterators yield batches already on device.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+import jax
+import numpy as np
+
+from . import ingest
+from .windows import DeviceDataset, MixedDeviceDataset, sample_traj
+
+
+def _loader(fmt: str):
+    if fmt == "robomimic":
+        return ingest.load_robomimic
+    if fmt == "aloha":
+        return ingest.load_aloha
+    raise ValueError(f"unknown dataset format {fmt!r}")
+
+
+class OfflineData:
+    def __init__(self, *, name: str, train_path: str, eval_path: str,
+                 meta: Mapping[str, Any], env_params: Mapping[str, Any] | None = None,
+                 batch_size: int = 256, obs_horizon: int = 1,
+                 seq_length: int = 16,
+                 train_n_episode_overfit: int | None = None,
+                 eval_n_episode_overfit: int | None = 10,
+                 train_latent_path: str | None = None,
+                 eval_latent_path: str | None = None,
+                 format: str = "robomimic",
+                 seed: int = 0,
+                 device_put: bool = True,
+                 # accepted for config parity; prefetch is on-device now
+                 n_workers: int = 0, prefetch_factor: int = 0):
+        self.name = name
+        self.meta = meta
+        self.env_params = dict(env_params or {})
+        self.batch_size = batch_size
+        self.obs_horizon = obs_horizon
+        self.seq_length = seq_length
+        self.format = format
+        self.seed = seed
+        self.device_put = device_put
+        self._paths = dict(train=(train_path, train_latent_path,
+                                  train_n_episode_overfit),
+                           eval=(eval_path, eval_latent_path,
+                                 eval_n_episode_overfit))
+        self._welded: dict[str, ingest.WeldedDemos] = {}
+        self._device: dict[str, DeviceDataset] = {}
+
+    # ------------------------------------------------------------------
+    @property
+    def shape_meta(self) -> Mapping[str, Any]:
+        return self.meta["shape_meta"]
+
+    @property
+    def obs_keys(self) -> tuple[str, ...]:
+        return tuple(self.meta["lowdim_obs"]) + tuple(self.meta["rgb_obs"])
+
+    def welded(self, split: str) -> ingest.WeldedDemos:
+        if split not in self._welded:
+            path, latent_path, n_demos = self._paths[split]
+            self._welded[split] = _loader(self.format)(
+                path, self.obs_keys, n_demos=n_demos,
+                latent_path=latent_path, name=f"{self.name}/{split}")
+        return self._welded[split]
+
+    def device_dataset(self, split: str) -> DeviceDataset:
+        if split not in self._device:
+            self._device[split] = DeviceDataset.from_welded(
+                self.welded(split), frame_stack=self.obs_horizon,
+                seq_length=self.seq_length, device_put=self.device_put)
+        return self._device[split]
+
+    @property
+    def env_meta(self):
+        return self.welded("train").env_meta
+
+    # ------------------------------------------------------------------
+    def train_dataloader(self):
+        return self.device_dataset("train").iter_batches(
+            jax.random.PRNGKey(self.seed), self.batch_size)
+
+    def eval_dataloader(self):
+        return self.device_dataset("eval").iter_batches(
+            jax.random.PRNGKey(self.seed + 1), self.batch_size)
+
+    def sample_traj(self, split: str, ep: int) -> dict:
+        return sample_traj(self.welded(split), ep)
+
+
+def _as_list(x, n: int) -> list:
+    if x is None:
+        return [None] * n
+    if isinstance(x, (list, tuple)):
+        return list(x)
+    return [x]
+
+
+class MixedOfflineData:
+    """Weighted mixture of K sub-datasets (expert first).
+
+    Config surface parity with the reference mixed facades
+    (data/robomimic_mixed_data.py:20-61): ``train_paths`` is a list, the
+    first entry is the expert set (``optimal`` flag 1, others 0 when the
+    ``optimal`` key is requested); ``train_split`` is either a probability
+    list or a scalar p meaning [p, 1-p]; eval uses a single path.
+    """
+
+    def __init__(self, *, name: str, train_paths: Sequence[str],
+                 eval_paths: str | Sequence[str],
+                 meta: Mapping[str, Any],
+                 env_params: Mapping[str, Any] | None = None,
+                 train_split: float | Sequence[float] = 0.5,
+                 eval_split: float | Sequence[float] | None = None,
+                 batch_size: int = 256, obs_horizon: int = 1,
+                 seq_length: int = 16,
+                 train_n_episode_overfit: Sequence[int | None] | None = None,
+                 eval_n_episode_overfit: int | None = 10,
+                 train_latent_paths: Sequence[str] | None = None,
+                 eval_latent_paths: str | None = None,
+                 format: str = "robomimic", seed: int = 0,
+                 device_put: bool = True,
+                 n_workers: int = 0, prefetch_factor: int = 0):
+        self.name = name
+        self.meta = meta
+        self.env_params = dict(env_params or {})
+        self.batch_size = batch_size
+        self.obs_horizon = obs_horizon
+        self.seq_length = seq_length
+        self.format = format
+        self.seed = seed
+        self.device_put = device_put
+
+        self.train_paths = list(train_paths)
+        k = len(self.train_paths)
+        if isinstance(train_split, (list, tuple)):
+            assert abs(sum(train_split) - 1.0) < 1e-6
+            self.train_split = list(train_split)
+        else:
+            self.train_split = [float(train_split), 1.0 - float(train_split)]
+        assert len(self.train_split) == k
+        self.train_latent_paths = _as_list(train_latent_paths, k)
+        self.train_n_overfit = _as_list(train_n_episode_overfit, k)
+
+        self.eval_path = (eval_paths[0] if isinstance(eval_paths, (list, tuple))
+                          else eval_paths)
+        self.eval_latent_path = (eval_latent_paths[0]
+                                 if isinstance(eval_latent_paths, (list, tuple))
+                                 else eval_latent_paths)
+        self.eval_n_overfit = eval_n_episode_overfit
+        self._mixed: MixedDeviceDataset | None = None
+        self._eval: DeviceDataset | None = None
+        self._eval_welded: ingest.WeldedDemos | None = None
+
+    @property
+    def shape_meta(self):
+        return self.meta["shape_meta"]
+
+    @property
+    def obs_keys(self) -> tuple[str, ...]:
+        return tuple(self.meta["lowdim_obs"]) + tuple(self.meta["rgb_obs"])
+
+    def _train_mixed(self) -> MixedDeviceDataset:
+        if self._mixed is None:
+            welded = []
+            for i, path in enumerate(self.train_paths):
+                welded.append(_loader(self.format)(
+                    path, self.obs_keys, n_demos=self.train_n_overfit[i],
+                    latent_path=self.train_latent_paths[i],
+                    optimal=1.0 if i == 0 else 0.0,
+                    name=f"{self.name}/train{i}"))
+            cat = ingest.concat_welded(welded, name=f"{self.name}/train")
+            device = DeviceDataset.from_welded(
+                cat, frame_stack=self.obs_horizon, seq_length=self.seq_length,
+                device_put=self.device_put)
+            offsets = np.cumsum([0] + [w.total_steps for w in welded[:-1]])
+            sizes = [w.total_steps for w in welded]
+            self._mixed = MixedDeviceDataset.create(
+                device, offsets, sizes, self.train_split)
+        return self._mixed
+
+    def _eval_dataset(self) -> DeviceDataset:
+        if self._eval is None:
+            self._eval_welded = _loader(self.format)(
+                self.eval_path, self.obs_keys, n_demos=self.eval_n_overfit,
+                latent_path=self.eval_latent_path, name=f"{self.name}/eval")
+            self._eval = DeviceDataset.from_welded(
+                self._eval_welded, frame_stack=self.obs_horizon,
+                seq_length=self.seq_length, device_put=self.device_put)
+        return self._eval
+
+    def train_dataloader(self):
+        return self._train_mixed().iter_batches(
+            jax.random.PRNGKey(self.seed), self.batch_size)
+
+    def eval_dataloader(self):
+        return self._eval_dataset().iter_batches(
+            jax.random.PRNGKey(self.seed + 1), self.batch_size)
+
+    def sample_traj(self, split: str, ep: int) -> dict:
+        if split == "eval":
+            self._eval_dataset()
+            return sample_traj(self._eval_welded, ep)
+        raise ValueError("sample_traj on mixed data supports the eval split")

@@ -1,0 +1,422 @@
+"""LDP agent: latent diffusion planner + inverse dynamics model.
+
+Capability parity with the reference LDPAgent (agent/ldp_agent.py):
+
+- planner: ConditionalUnet1D denoising future *observation latents*
+  conditioned on the flattened first ``obs_horizon`` latents (plan_loss,
+  reference :113-126),
+- IDM: diffusion MLP denoising *actions* conditioned on (s, s') latent pairs
+  (idm_loss, reference :128-139),
+- schedule gating (update_planner_every/until/after, update_idm_every/after,
+  reference :229-237), mixed batches (planner on expert/action-free data, IDM
+  on mixed data, reference :184-227),
+- inference: reverse-diffuse a latent plan, decode actions pairwise with the
+  IDM, optionally decode plan frames through the VAE for visualization
+  (sample_viz_step, reference :452-506).
+
+TPU-first: reverse processes are ``lax.scan``s from ops.diffusion; DDIM
+striding is available for fast eval (planner/idm_inference_steps config);
+losses/updates are single jitted functions over the agent pytree, sharding
+transparently over a dp mesh.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from ...ops import diffusion as dlib
+from ...ops import normalize as nz
+from ...train.state import EMATrainState, global_norm, make_optimizer
+from ...utils.config import instantiate
+from ...utils.frozen import FrozenConfig
+from ..vae import KLVAE
+from . import common
+
+nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
+
+
+class LDPAgent(flax.struct.PyTreeNode):
+    planner_state: EMATrainState | None
+    idm_state: EMATrainState | None
+    vae_params: Any
+    obs_normalization: Any
+    planner_sched: dlib.DiffusionSchedule
+    idm_sched: dlib.DiffusionSchedule
+    vae_def: KLVAE = nonpytree_field()
+    lr_schedule: Any = nonpytree_field()
+    config: FrozenConfig = nonpytree_field()
+
+    # ------------------------------------------------------------------
+    # observation plumbing
+    # ------------------------------------------------------------------
+    @property
+    def _codec(self) -> common.VAECodec:
+        return common.VAECodec(self.vae_def, self.config.rgb_obs,
+                               self.config.vae_feature_dim)
+
+    def _encode_obs(self, batch_obs):
+        return self._codec.encode_obs(self.vae_params, batch_obs,
+                                      self.obs_normalization)
+
+    def _obs_cond(self, batch_obs) -> jnp.ndarray:
+        return common.obs_cond_from_features(batch_obs, self.config.rgb_obs,
+                                             self.config.lowdim_obs)
+
+    # ------------------------------------------------------------------
+    # losses
+    # ------------------------------------------------------------------
+    def _plan_loss(self, params, rng, obs_emb, obs_horizon):
+        t_rng, noise_rng = jax.random.split(rng)
+        B = obs_emb.shape[0]
+        t = jax.random.randint(t_rng, (B,), 0, self.planner_sched.num_steps)
+        target = obs_emb[:, obs_horizon:]
+        noise = jax.random.normal(noise_rng, target.shape)
+        noisy = self.planner_sched.add_noise(target, noise, t)
+        cond = obs_emb[:, :obs_horizon].reshape(B, -1)
+        pred = self.planner_state.apply_fn({"params": params}, noisy, t, cond)
+        return jnp.mean(jnp.square(pred - noise))
+
+    def _idm_loss(self, params, rng, obs_emb, actions, obs_horizon):
+        pairs = common.transition_pairs(obs_emb, obs_horizon)
+        acts = actions[:, obs_horizon - 1:-1].reshape(-1, actions.shape[-1])
+        t_rng, noise_rng = jax.random.split(rng)
+        t = jax.random.randint(t_rng, (acts.shape[0],), 0, self.idm_sched.num_steps)
+        noise = jax.random.normal(noise_rng, acts.shape)
+        noisy = self.idm_sched.add_noise(acts, noise, t)
+        pred = self.idm_state.apply_fn({"params": params}, pairs, noisy, t)
+        return jnp.mean(jnp.square(pred - noise))
+
+    def _loss(self, params, batch, mixed_batch, rng, use_planner, use_idm,
+              obs_horizon):
+        obs_emb = self._obs_cond(batch["obs"])
+        idm_batch = mixed_batch if mixed_batch is not None else batch
+        metrics = dict(
+            emb_min=jnp.min(obs_emb), emb_max=jnp.max(obs_emb),
+            emb_mean=jnp.mean(obs_emb), emb_std=jnp.std(obs_emb),
+            action_min=jnp.min(idm_batch["actions"]),
+            action_max=jnp.max(idm_batch["actions"]))
+        metrics.update(common.debug_obs_metrics(batch["obs"]))
+
+        loss = 0.0
+        plan_loss = jnp.zeros(())
+        idm_loss = jnp.zeros(())
+        if use_planner:
+            rng, sub = jax.random.split(rng)
+            plan_loss = self.config.alpha_planner * self._plan_loss(
+                params["planner"], sub, obs_emb, obs_horizon)
+            loss = loss + plan_loss
+        if use_idm:
+            rng, sub = jax.random.split(rng)
+            idm_emb = (self._obs_cond(mixed_batch["obs"])
+                       if mixed_batch is not None else obs_emb)
+            idm_loss = self.config.alpha_idm * self._idm_loss(
+                params["idm"], sub, idm_emb, idm_batch["actions"], obs_horizon)
+            loss = loss + idm_loss
+        metrics.update(plan_loss=plan_loss, idm_loss=idm_loss, loss=loss)
+        return loss, metrics
+
+    # ------------------------------------------------------------------
+    # updates
+    # ------------------------------------------------------------------
+    def _gates(self, step: int) -> tuple[bool, bool]:
+        c = self.config
+        use_planner = bool(c.use_planner) and step % c.update_planner_every == 0
+        use_planner = use_planner and (c.update_planner_until < 0
+                                       or step < c.update_planner_until)
+        use_planner = use_planner and step >= c.update_planner_after
+        use_idm = (bool(c.use_idm) and step % c.update_idm_every == 0
+                   and step >= c.update_idm_after)
+        return use_planner, use_idm
+
+    def update(self, batch, rng, step: int):
+        use_planner, use_idm = self._gates(step)
+        return self._update_step(batch, None, rng, use_planner, use_idm)
+
+    def update_mixed(self, batch, mixed_batch, rng, step: int):
+        use_planner, use_idm = self._gates(step)
+        return self._update_step(batch, mixed_batch, rng, use_planner, use_idm)
+
+    @partial(jax.jit, static_argnames=("use_planner", "use_idm"))
+    def _update_step(self, batch, mixed_batch, rng, use_planner, use_idm):
+        batch = common.prepare_batch(batch, self.obs_normalization)
+        batch["obs"] = self._encode_obs(batch["obs"])
+        if mixed_batch is not None:
+            mixed_batch = common.prepare_batch(mixed_batch, self.obs_normalization)
+            mixed_batch["obs"] = self._encode_obs(mixed_batch["obs"])
+
+        params = {}
+        if use_planner:
+            params["planner"] = self.planner_state.params
+        if use_idm:
+            params["idm"] = self.idm_state.params
+        grads, metrics = jax.grad(self._loss, has_aux=True)(
+            params, batch, mixed_batch, rng, use_planner, use_idm,
+            self.config.obs_horizon)
+        metrics["g_norm"] = global_norm(grads)
+
+        new_planner = self.planner_state
+        new_idm = self.idm_state
+        if use_planner:
+            new_planner = self.planner_state.apply_gradients(grads["planner"])
+            metrics["planner_lr"] = self.lr_schedule(self.planner_state.step)
+            metrics["planner_step"] = self.planner_state.step
+        if use_idm:
+            new_idm = self.idm_state.apply_gradients(grads["idm"])
+            metrics["idm_lr"] = self.lr_schedule(self.idm_state.step)
+            metrics["idm_step"] = self.idm_state.step
+        return self.replace(planner_state=new_planner, idm_state=new_idm), metrics
+
+    def get_metrics(self, batch, rng):
+        return self._metrics_step(batch, rng, bool(self.config.use_planner),
+                                  bool(self.config.use_idm))
+
+    @partial(jax.jit, static_argnames=("use_planner", "use_idm"))
+    def _metrics_step(self, batch, rng, use_planner, use_idm):
+        batch = common.prepare_batch(batch, self.obs_normalization)
+        batch["obs"] = self._encode_obs(batch["obs"])
+        params = {}
+        if use_planner:
+            params["planner"] = self.planner_state.params
+        if use_idm:
+            params["idm"] = self.idm_state.params
+        _, metrics = self._loss(params, batch, None, rng, use_planner, use_idm,
+                                self.config.obs_horizon)
+        return metrics
+
+    # ------------------------------------------------------------------
+    # inference
+    # ------------------------------------------------------------------
+    def _idm_decode(self, pairs: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """Reverse-diffuse actions for (s, s') pairs → (N, A), normalized."""
+        c = self.config
+        idm_params = self.idm_state.inference_params
+
+        def denoise(a, t):
+            return self.idm_state.apply_fn({"params": idm_params}, pairs, a, t)
+
+        shape = (pairs.shape[0], c.action_dim)
+        if c.idm_inference_steps and c.idm_inference_steps < self.idm_sched.num_steps:
+            return dlib.sample_ddim(self.idm_sched, denoise, rng, shape,
+                                    c.idm_inference_steps)
+        return dlib.sample_ddpm(self.idm_sched, denoise, rng, shape)
+
+    def _plan(self, obs_cond_flat: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        """Reverse-diffuse a latent plan (B, pred_horizon, obs_dim)."""
+        c = self.config
+        planner_params = self.planner_state.inference_params
+
+        def denoise(x, t):
+            return self.planner_state.apply_fn({"params": planner_params}, x, t,
+                                               obs_cond_flat)
+
+        shape = (obs_cond_flat.shape[0], c.pred_horizon, c.obs_dim)
+        if (c.planner_inference_steps
+                and c.planner_inference_steps < self.planner_sched.num_steps):
+            return dlib.sample_ddim(self.planner_sched, denoise, rng, shape,
+                                    c.planner_inference_steps)
+        return dlib.sample_ddpm(self.planner_sched, denoise, rng, shape)
+
+    def _prepare_eval_batch(self, batch):
+        batch = (common.prepare_batch(batch, self.obs_normalization)
+                 if "actions" in batch else
+                 {"obs": nz.normalize_tree(batch["obs"],
+                                           self.obs_normalization["obs"])})
+        batch["obs"] = self._encode_obs(batch["obs"])
+        return batch
+
+    def sample_action(self, batch, rng):
+        """IDM-only decode over consecutive observed latents (offline metric).
+
+        Parity: agent/ldp_agent.py:391-430.
+        """
+        batch = jax.jit(self._prepare_eval_batch)(batch)
+        return self._sample_action_step(batch, rng)
+
+    @jax.jit
+    def _sample_action_step(self, batch, rng):
+        obs_emb = self._obs_cond(batch["obs"])
+        B = obs_emb.shape[0]
+        pairs = common.consecutive_pairs(obs_emb)
+        acts = self._idm_decode(pairs, rng)
+        acts = acts.reshape(B, -1, self.config.action_dim)
+        return nz.unnormalize_actions(acts, self.obs_normalization)
+
+    def sample(self, batch, rng):
+        return self.sample_viz(batch, rng)
+
+    def sample_viz(self, batch, rng):
+        """Full inference: plan latents → decode actions; plus viz metrics.
+
+        Parity: agent/ldp_agent.py:435-506 (incl. plan_mse when the batch
+        window extends past obs_horizon).
+        """
+        batch = jax.jit(self._prepare_eval_batch)(batch)
+        action, metrics = self._sample_viz_step(batch, rng)
+        oh = self.config.obs_horizon
+        if metrics["obs_emb"].shape[1] > oh:
+            metrics["plan_mse"] = jnp.mean(jnp.square(
+                metrics["pred_plan"] - metrics["obs_emb"][:, oh:]))
+        metrics.pop("obs_emb")
+        metrics.pop("pred_plan")
+        return action, metrics
+
+    @jax.jit
+    def _sample_viz_step(self, batch, rng):
+        c = self.config
+        obs_emb = self._obs_cond(batch["obs"])
+        B = obs_emb.shape[0]
+        cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
+
+        rng, plan_rng = jax.random.split(rng)
+        pred_plan = self._plan(cond, plan_rng)
+
+        plan = pred_plan[:, : c.action_horizon]
+        start = obs_emb[:, c.obs_horizon - 1: c.obs_horizon]
+        plan = jnp.concatenate([start, plan], axis=1)  # (B, ah+1, D)
+
+        plan_viz = self._codec.decode_features(self.vae_params, plan,
+                                               self.obs_normalization)
+
+        pairs = common.consecutive_pairs(plan)
+        rng, idm_rng = jax.random.split(rng)
+        acts = self._idm_decode(pairs, idm_rng).reshape(B, -1, c.action_dim)
+        acts = nz.unnormalize_actions(acts, self.obs_normalization)
+        return acts, dict(plan_viz=plan_viz, pred_plan=pred_plan,
+                          obs_emb=obs_emb, plan=plan)
+
+    def sample_action_from_plan(self, batch, next_plan, rng):
+        """Decode actions toward an externally-given next-latent plan.
+
+        Parity: agent/ldp_agent.py:350-389.
+        """
+        batch = jax.jit(self._prepare_eval_batch)(batch)
+        return self._sample_from_plan_step(batch, next_plan, rng)
+
+    @jax.jit
+    def _sample_from_plan_step(self, batch, next_plan, rng):
+        start = self._obs_cond(batch["obs"])
+        B = start.shape[0]
+        pair = jnp.concatenate([start, next_plan], axis=-1)
+        pairs = pair.reshape(-1, pair.shape[-1])
+        acts = self._idm_decode(pairs, rng).reshape(B, -1, self.config.action_dim)
+        return nz.unnormalize_actions(acts, self.obs_normalization)
+
+    # ------------------------------------------------------------------
+    # persistence
+    # ------------------------------------------------------------------
+    def get_params(self):
+        params = {}
+        if self.config.use_planner:
+            params["planner_params"] = self.planner_state.params
+        if self.config.use_idm:
+            params["idm_params"] = self.idm_state.params
+        return params
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, rng, batch, shape_meta, *,
+               name: str = "ldp",
+               planner: dict,
+               idm_net: dict,
+               vae: dict | None = None,
+               vae_params: Any = None,
+               vae_pretrain_path: str | None = None,
+               vae_feature_dim: int = 16,
+               use_planner: bool = True, use_idm: bool = True,
+               lowdim_obs=(), rgb_obs=(), obs_normalization=None,
+               data_name: str = "",
+               obs_horizon: int = 1, pred_horizon: int = 8,
+               action_horizon: int = 4,
+               planner_n_diffusion_steps: int = 100,
+               idm_n_diffusion_steps: int = 100,
+               planner_inference_steps: int | None = None,
+               idm_inference_steps: int | None = None,
+               alpha_planner: float = 1.0, alpha_idm: float = 1.0,
+               lr: float = 1e-4, end_lr: float = 1e-6,
+               idm_lr: float = 1e-4, idm_end_lr: float = 1e-6,
+               warmup_steps: int = 1000, decay_steps: int = 500_000,
+               update_planner_every: int = 1, update_idm_every: int = 1,
+               update_idm_after: int = 0, update_planner_until: int = -1,
+               update_planner_after: int = 0,
+               grad_clip: float | None = None,
+               ema_decay: float = 0.0) -> "LDPAgent":
+        """Build the agent from an init batch + shape metadata.
+
+        The VAE comes either from ``vae_params`` (restored by the caller, see
+        train/checkpoint.py) or is freshly initialized (tests); reference
+        behavior of loading from a VAE run directory lives in the driver.
+        """
+        obs_dim, action_dim = common.obs_dims(shape_meta, rgb_obs, lowdim_obs,
+                                              vae_feature_dim)
+        vae_def = KLVAE(**(vae or {}))
+        if vae_params is None:
+            rng, vrng = jax.random.split(rng)
+            img = jnp.zeros((1, 64, 64, vae_def.in_channels))
+            vae_params = vae_def.init(vrng, img, jax.random.PRNGKey(0))["params"]
+
+        stats = nz.stats_to_arrays(obs_normalization)
+        config = FrozenConfig(
+            name=name, lowdim_obs=tuple(lowdim_obs), rgb_obs=tuple(rgb_obs),
+            obs_horizon=obs_horizon, pred_horizon=pred_horizon,
+            action_horizon=action_horizon, obs_dim=obs_dim,
+            action_dim=action_dim, vae_feature_dim=vae_feature_dim,
+            use_planner=use_planner, use_idm=use_idm,
+            alpha_planner=alpha_planner, alpha_idm=alpha_idm,
+            update_planner_every=update_planner_every,
+            update_idm_every=update_idm_every,
+            update_idm_after=update_idm_after,
+            update_planner_until=update_planner_until,
+            update_planner_after=update_planner_after,
+            planner_inference_steps=planner_inference_steps,
+            idm_inference_steps=idm_inference_steps, data_name=data_name)
+
+        # planner: 1-D U-Net over obs latents
+        planner_state = None
+        lr_schedule = None
+        if use_planner:
+            rng, sub = jax.random.split(rng)
+            planner_def = instantiate(dict(planner), input_dim=obs_dim,
+                                      global_cond_dim=obs_dim * obs_horizon)
+            init_sample = jnp.zeros((1, pred_horizon, obs_dim))
+            init_cond = jnp.zeros((1, obs_dim * obs_horizon))
+            pparams = planner_def.init(sub, init_sample,
+                                       jnp.zeros((1,), jnp.int32), init_cond)["params"]
+            tx, lr_schedule = make_optimizer(lr, end_lr, warmup_steps,
+                                             decay_steps, grad_clip)
+            planner_state = EMATrainState.create(apply_fn=planner_def.apply,
+                                                 params=pparams, tx=tx,
+                                                 ema_decay=ema_decay)
+
+        # IDM: diffusion MLP over (s, s') pairs
+        idm_state = None
+        if use_idm:
+            rng, sub = jax.random.split(rng)
+            idm_def = instantiate(dict(idm_net), out_dim=action_dim)
+            init_pair = jnp.zeros((2, 2 * obs_dim))
+            init_act = jnp.zeros((2, action_dim))
+            iparams = idm_def.init(sub, init_pair, init_act,
+                                   jnp.zeros((2, 1), jnp.int32))["params"]
+            tx, sched = make_optimizer(idm_lr, idm_end_lr, warmup_steps,
+                                       decay_steps, grad_clip)
+            if lr_schedule is None:
+                lr_schedule = sched
+            idm_state = EMATrainState.create(apply_fn=idm_def.apply,
+                                             params=iparams, tx=tx,
+                                             ema_decay=ema_decay)
+
+        planner_sched = dlib.DiffusionSchedule.create(
+            planner_n_diffusion_steps, "squaredcos_cap_v2",
+            prediction_type="epsilon", clip_sample=True)
+        idm_sched = dlib.DiffusionSchedule.create(
+            idm_n_diffusion_steps, "squaredcos_cap_v2",
+            prediction_type="epsilon", clip_sample=True)
+
+        return cls(planner_state=planner_state, idm_state=idm_state,
+                   vae_params=vae_params, obs_normalization=stats,
+                   planner_sched=planner_sched, idm_sched=idm_sched,
+                   vae_def=vae_def, lr_schedule=lr_schedule, config=config)

@@ -1,0 +1,218 @@
+"""In-house diffusion schedules and samplers (DDPM + DDIM), TPU-first.
+
+Replaces the reference's dependency on HuggingFace ``FlaxDDPMScheduler``
+(reference: agent/ldp_agent.py:637-650 — squaredcos_cap_v2 betas, epsilon
+prediction, clip_sample=True, fixed_small variance). Everything here is a pure
+function over a precomputed fp32 table pytree, so it fuses into jitted train and
+rollout steps; reverse processes run under ``lax.scan`` with static step counts
+(XLA-friendly, no host round trips).
+
+DDIM sampling (eta=0, strided timesteps) is provided for fast eval — the same
+trained epsilon-predictor can be sampled in e.g. 10 steps instead of 100.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
+
+
+def make_betas(num_steps: int, schedule: str = "squaredcos_cap_v2",
+               beta_start: float = 0.0001, beta_end: float = 0.02) -> jnp.ndarray:
+    """Beta schedule table.
+
+    ``squaredcos_cap_v2`` is the cosine schedule of Nichol & Dhariwal (2021):
+    beta_t = min(1 - alphabar((t+1)/T) / alphabar(t/T), 0.999) with
+    alphabar(x) = cos^2((x + 0.008) / 1.008 * pi/2).
+    """
+    if schedule == "squaredcos_cap_v2":
+        def alpha_bar(x: float) -> float:
+            return math.cos((x + 0.008) / 1.008 * math.pi / 2.0) ** 2
+        betas = [min(1.0 - alpha_bar((i + 1) / num_steps) / alpha_bar(i / num_steps), 0.999)
+                 for i in range(num_steps)]
+        return jnp.asarray(betas, dtype=jnp.float32)
+    if schedule == "linear":
+        return jnp.linspace(beta_start, beta_end, num_steps, dtype=jnp.float32)
+    if schedule == "scaled_linear":
+        return jnp.linspace(beta_start ** 0.5, beta_end ** 0.5, num_steps,
+                            dtype=jnp.float32) ** 2
+    raise ValueError(f"unknown beta schedule {schedule!r}")
+
+
+def _bcast(vals: jnp.ndarray, ndim: int) -> jnp.ndarray:
+    """Reshape a (B,) (or scalar) per-sample vector for right-broadcasting."""
+    vals = jnp.asarray(vals)
+    if vals.ndim == 0:
+        return vals
+    return vals.reshape(vals.shape + (1,) * (ndim - vals.ndim))
+
+
+class DiffusionSchedule(flax.struct.PyTreeNode):
+    """Precomputed noise-schedule tables + step rules.
+
+    Tables are fp32 and tiny (num_steps entries); they live in the agent pytree
+    and are free to close over inside jit.
+    """
+
+    betas: jnp.ndarray
+    alphas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    num_steps: int = nonpytree_field()
+    prediction_type: str = nonpytree_field(default="epsilon")
+    clip_sample: bool = nonpytree_field(default=True)
+    clip_range: float = nonpytree_field(default=1.0)
+
+    @classmethod
+    def create(cls, num_steps: int, schedule: str = "squaredcos_cap_v2",
+               prediction_type: str = "epsilon", clip_sample: bool = True,
+               clip_range: float = 1.0, beta_start: float = 0.0001,
+               beta_end: float = 0.02) -> "DiffusionSchedule":
+        betas = make_betas(num_steps, schedule, beta_start, beta_end)
+        alphas = 1.0 - betas
+        return cls(betas=betas, alphas=alphas, alphas_cumprod=jnp.cumprod(alphas),
+                   num_steps=num_steps, prediction_type=prediction_type,
+                   clip_sample=clip_sample, clip_range=clip_range)
+
+    def _abar(self, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+        return _bcast(self.alphas_cumprod[t], ndim)
+
+    def _abar_prev(self, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
+        """alphabar_{t-1}, defined as 1.0 for t <= 0 (x0 boundary)."""
+        safe = jnp.maximum(t - 1, 0)
+        return _bcast(jnp.where(t > 0, self.alphas_cumprod[safe], 1.0), ndim)
+
+    # -- forward process ----------------------------------------------------
+    def add_noise(self, x0: jnp.ndarray, noise: jnp.ndarray,
+                  t: jnp.ndarray) -> jnp.ndarray:
+        """q(x_t | x_0): sqrt(abar_t) x0 + sqrt(1 - abar_t) noise; t: (B,) int."""
+        t = jnp.asarray(t).reshape(-1)
+        abar = self._abar(t, x0.ndim)
+        return jnp.sqrt(abar) * x0 + jnp.sqrt(1.0 - abar) * noise
+
+    # -- x0 reconstruction --------------------------------------------------
+    def predict_x0(self, model_out: jnp.ndarray, x_t: jnp.ndarray,
+                   t: jnp.ndarray) -> jnp.ndarray:
+        abar = self._abar(t, x_t.ndim)
+        if self.prediction_type == "epsilon":
+            x0 = (x_t - jnp.sqrt(1.0 - abar) * model_out) / jnp.sqrt(abar)
+        elif self.prediction_type == "v_prediction":
+            x0 = jnp.sqrt(abar) * x_t - jnp.sqrt(1.0 - abar) * model_out
+        elif self.prediction_type == "sample":
+            x0 = model_out
+        else:
+            raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
+        if self.clip_sample:
+            x0 = jnp.clip(x0, -self.clip_range, self.clip_range)
+        return x0
+
+    def velocity_target(self, x0: jnp.ndarray, noise: jnp.ndarray,
+                        t: jnp.ndarray) -> jnp.ndarray:
+        t = jnp.asarray(t).reshape(-1)
+        abar = self._abar(t, x0.ndim)
+        return jnp.sqrt(abar) * noise - jnp.sqrt(1.0 - abar) * x0
+
+    # -- reverse steps ------------------------------------------------------
+    def ddpm_step(self, model_out: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray,
+                  rng: jax.Array) -> jnp.ndarray:
+        """One ancestral DDPM step x_t -> x_{t-1} with fixed_small variance."""
+        t = jnp.asarray(t).reshape(-1) if jnp.ndim(t) else jnp.asarray(t)[None]
+        x0 = self.predict_x0(model_out, x_t, t)
+
+        abar_t = self._abar(t, x_t.ndim)
+        abar_prev = self._abar_prev(t, x_t.ndim)
+        beta_t = _bcast(self.betas[t], x_t.ndim)
+        alpha_t = _bcast(self.alphas[t], x_t.ndim)
+
+        coef_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
+        coef_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
+        mean = coef_x0 * x0 + coef_xt * x_t
+
+        # fixed_small: var = beta_t * (1 - abar_prev) / (1 - abar_t); no noise at t=0
+        var = jnp.clip(beta_t * (1.0 - abar_prev) / (1.0 - abar_t), 1e-20, None)
+        noise = jax.random.normal(rng, x_t.shape, dtype=x_t.dtype)
+        nonzero = _bcast((t > 0).astype(x_t.dtype), x_t.ndim)
+        return mean + nonzero * jnp.sqrt(var) * noise
+
+    def ddim_step(self, model_out: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray,
+                  t_prev: jnp.ndarray, eta: float = 0.0,
+                  rng: jax.Array | None = None) -> jnp.ndarray:
+        """One DDIM step from timestep t to t_prev (t_prev < t; t_prev=-1 → x0)."""
+        t = jnp.asarray(t).reshape(-1) if jnp.ndim(t) else jnp.asarray(t)[None]
+        t_prev = (jnp.asarray(t_prev).reshape(-1) if jnp.ndim(t_prev)
+                  else jnp.asarray(t_prev)[None])
+        x0 = self.predict_x0(model_out, x_t, t)
+        abar_t = self._abar(t, x_t.ndim)
+        abar_prev = _bcast(jnp.where(t_prev >= 0,
+                                     self.alphas_cumprod[jnp.maximum(t_prev, 0)],
+                                     1.0), x_t.ndim)
+        eps = (x_t - jnp.sqrt(abar_t) * x0) / jnp.sqrt(1.0 - abar_t)
+        if eta > 0.0:
+            sigma = eta * jnp.sqrt((1.0 - abar_prev) / (1.0 - abar_t)
+                                   * (1.0 - abar_t / abar_prev))
+        else:
+            sigma = jnp.zeros_like(abar_prev)
+        dir_xt = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma ** 2, 0.0, None)) * eps
+        x_prev = jnp.sqrt(abar_prev) * x0 + dir_xt
+        if eta > 0.0:
+            assert rng is not None, "eta > 0 DDIM needs an rng"
+            x_prev = x_prev + sigma * jax.random.normal(rng, x_t.shape, x_t.dtype)
+        return x_prev
+
+
+DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
+"""(x_t, t:(B,) int32) -> model output (epsilon by default)."""
+
+
+def sample_ddpm(schedule: DiffusionSchedule, denoise_fn: DenoiseFn,
+                rng: jax.Array, shape: tuple, dtype=jnp.float32) -> jnp.ndarray:
+    """Full ancestral DDPM reverse process under lax.scan.
+
+    Parity with the reference's fori_loop samplers (agent/ldp_agent.py:465-476,
+    492-503) but with the timestep table scanned instead of recomputed.
+    """
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype)
+    timesteps = jnp.arange(schedule.num_steps - 1, -1, -1, dtype=jnp.int32)
+    step_rngs = jax.random.split(rng, schedule.num_steps)
+
+    def body(x, inp):
+        t, step_rng = inp
+        tb = jnp.full((shape[0],), t, dtype=jnp.int32)
+        out = denoise_fn(x, tb)
+        return schedule.ddpm_step(out, x, tb, step_rng), None
+
+    x, _ = jax.lax.scan(body, x, (timesteps, step_rngs))
+    return x
+
+
+def ddim_timesteps(num_train_steps: int, num_inference_steps: int) -> jnp.ndarray:
+    """Strided DDIM timestep table (descending)."""
+    stride = num_train_steps // num_inference_steps
+    return (jnp.arange(num_inference_steps, dtype=jnp.int32) * stride)[::-1]
+
+
+def sample_ddim(schedule: DiffusionSchedule, denoise_fn: DenoiseFn,
+                rng: jax.Array, shape: tuple, num_inference_steps: int,
+                eta: float = 0.0, dtype=jnp.float32) -> jnp.ndarray:
+    """DDIM sampling with ``num_inference_steps`` strided steps (fast eval)."""
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype)
+    ts = ddim_timesteps(schedule.num_steps, num_inference_steps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, dtype=jnp.int32)])
+    step_rngs = jax.random.split(rng, num_inference_steps)
+
+    def body(x, inp):
+        t, t_prev, step_rng = inp
+        tb = jnp.full((shape[0],), t, dtype=jnp.int32)
+        tb_prev = jnp.full((shape[0],), t_prev, dtype=jnp.int32)
+        out = denoise_fn(x, tb)
+        return schedule.ddim_step(out, x, tb, tb_prev, eta=eta, rng=step_rng), None
+
+    x, _ = jax.lax.scan(body, x, (ts, ts_prev, step_rngs))
+    return x

@@ -1,0 +1,35 @@
+"""Test harness: force an 8-device virtual CPU platform BEFORE jax import.
+
+Multi-chip sharding tests run against this virtual mesh
+(XLA_FLAGS=--xla_force_host_platform_device_count=8), mirroring how the driver
+dry-run-compiles the multi-chip path. Real-TPU behavior is exercised by
+bench.py, not the unit suite.
+"""
+
+import os
+import sys
+from pathlib import Path
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return jax.random.PRNGKey(0)
