@@ -1,0 +1,266 @@
+"""Fused batched eval engine: plan → act → step under one jitted lax.scan.
+
+TPU-native replacement for the reference's multiprocessing eval fabric
+(utils/rm_env_utils.py:18-221: one OS process per MuJoCo env, obs pickled
+through queues to a host scheduler that batches ready workers for the
+accelerator policy, actions scattered back). Here the environments ARE device
+arrays: N episodes run as one vmapped state pytree, the policy's reverse
+diffusion and the ``action_horizon`` env steps execute inside the same
+compiled program, and the host only sees the final metrics.
+
+Episode semantics parity (rm_env_utils.py:36-88):
+- one seeded reset per episode (deterministic given the base seed),
+- an ``obs_horizon`` observation window (deque → rolling device window),
+- per decision the policy returns an action chunk; the env consumes
+  ``action_horizon`` of it,
+- episodes terminate at first success or at ``episode_len``; reward
+  accumulates until termination; ``horizon`` is steps-to-termination,
+- the ``optimal`` obs flag is synthesized as 1.0 at eval
+  (rm_env_utils.py:177-179).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Any, Callable, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PolicyFn = Callable[[Any, Mapping[str, jnp.ndarray], jax.Array], jnp.ndarray]
+"""(agent pytree, obs_window {k: (N, obs_horizon, ...)}, rng)
+-> (N, >=action_horizon, A).
+
+Module-level adapters keep a stable identity so the engine's jit cache
+persists across eval calls (the agent itself is a traced pytree argument).
+"""
+
+
+def agent_sample_policy(agent, obs_window, rng) -> jnp.ndarray:
+    """Default adapter: the agent's full ``sample`` path, actions only."""
+    out = agent.sample({"obs": dict(obs_window)}, rng)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def _init_window(obs: Mapping[str, jnp.ndarray], obs_horizon: int) -> dict:
+    """Tile the reset obs into a full window (parity: deque([ob] * H))."""
+    return {k: jnp.repeat(v[:, None], obs_horizon, axis=1)
+            for k, v in obs.items()}
+
+
+def _push_window(window: dict, obs: Mapping[str, jnp.ndarray]) -> dict:
+    return {k: jnp.concatenate([window[k][:, 1:], obs[k][:, None]], axis=1)
+            for k in window}
+
+
+def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
+                     *, obs_horizon: int = 1, action_horizon: int = 4,
+                     episode_len: int | None = None,
+                     policy_obs_keys: tuple[str, ...] | None = None,
+                     add_optimal: bool = False,
+                     video_envs: int = 0,
+                     video_key: str = "agentview_image",
+                     policy: PolicyFn = agent_sample_policy) -> dict:
+    """Run ``n_episodes`` parallel episodes; returns host-side metrics.
+
+    ``policy_obs_keys`` restricts what the policy sees (None = all env obs);
+    ``video_envs`` > 0 captures that many episodes' frames of ``video_key``.
+    Reuse the same ``env`` instance across calls — it is a static jit arg.
+    """
+    episode_len = episode_len or env.episode_len
+    n_decisions = math.ceil(episode_len / action_horizon)
+
+    out = _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
+                   episode_len, n_decisions,
+                   tuple(policy_obs_keys) if policy_obs_keys else None,
+                   add_optimal, video_envs, video_key, agent, rng)
+    out = jax.device_get(out)
+    metrics = {
+        "success": float(out["success"].mean()),
+        "reward": float(out["reward"].mean()),
+        "horizon": float(out["horizon"].mean()),
+        "avg_reward": float((out["reward"] / np.maximum(out["horizon"], 1)).mean()),
+        "n_episodes": n_episodes,
+    }
+    result = {"metrics": metrics, "per_episode": {
+        "success": out["success"], "reward": out["reward"],
+        "horizon": out["horizon"]}}
+    if video_envs > 0:
+        result["videos"] = out["videos"]
+    return result
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
+             episode_len, n_decisions, policy_obs_keys, add_optimal,
+             video_envs, video_key, agent, rng):
+    reset_rng, policy_rng = jax.random.split(rng)
+    reset_rngs = jax.random.split(reset_rng, n_episodes)
+    states, obs = jax.vmap(env.reset)(reset_rngs)
+    window = _init_window(obs, obs_horizon)
+
+    def policy_view(window):
+        view = ({k: window[k] for k in policy_obs_keys if k in window}
+                if policy_obs_keys else dict(window))
+        if add_optimal:
+            any_leaf = next(iter(window.values()))
+            view["optimal"] = jnp.ones((any_leaf.shape[0], obs_horizon, 1))
+        return view
+
+    init = dict(
+        states=states, window=window,
+        done=jnp.zeros((n_episodes,), bool),
+        success=jnp.zeros((n_episodes,), bool),
+        reward=jnp.zeros((n_episodes,)),
+        steps=jnp.zeros((n_episodes,), jnp.int32))
+
+    def decision(carry, d_rng):
+        actions = policy(agent, policy_view(carry["window"]), d_rng)
+        actions = actions[:, :action_horizon]
+
+        def act(carry, a_t):
+            new_states, new_obs, r, s = jax.vmap(env.step)(carry["states"], a_t)
+            done = carry["done"]
+            keep = lambda new, old: jnp.where(
+                jnp.reshape(done, (-1,) + (1,) * (new.ndim - 1)), old, new)
+            states = jax.tree_util.tree_map(
+                lambda new, old: keep(new, old), new_states, carry["states"])
+            window = {k: keep(v, carry["window"][k])
+                      for k, v in _push_window(carry["window"], new_obs).items()}
+            reward = carry["reward"] + jnp.where(done, 0.0, r)
+            steps = carry["steps"] + jnp.where(done, 0, 1)
+            success = carry["success"] | (~done & s)
+            new_done = done | s | (steps >= episode_len)
+            frame = (window[video_key][:video_envs, -1]
+                     if video_envs > 0 else jnp.zeros((0,)))
+            return dict(states=states, window=window, done=new_done,
+                        success=success, reward=reward, steps=steps), frame
+
+        carry, frames = jax.lax.scan(act, carry,
+                                     jnp.swapaxes(actions, 0, 1))
+        return carry, frames
+
+    d_rngs = jax.random.split(policy_rng, n_decisions)
+    final, frames = jax.lax.scan(decision, init, d_rngs)
+    out = dict(success=final["success"], reward=final["reward"],
+               horizon=final["steps"])
+    if video_envs > 0:
+        # (n_decisions, action_horizon, K, H, W, C) -> (K, T, H, W, C)
+        T = n_decisions * action_horizon
+        fr = frames.reshape((T,) + frames.shape[2:])
+        out["videos"] = jnp.swapaxes(fr, 0, 1).astype(jnp.uint8)
+    return out
+
+
+def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
+                        *, obs_horizon: int = 1, action_horizon: int = 4,
+                        episode_len: int | None = None,
+                        action_noise: float = 0.0,
+                        policy_obs_keys: tuple[str, ...] | None = None,
+                        add_optimal: bool = False,
+                        policy: PolicyFn = agent_sample_policy) -> dict:
+    """Roll out a policy and return full (obs, action, reward, success)
+    trajectories for dataset writing.
+
+    Device-side analogue of run_robomimic_data_collection
+    (utils/rm_env_utils.py:223-333) incl. Gaussian action noise for
+    suboptimal data (:285-286). Episodes run to ``episode_len`` (no early
+    stop) so trajectories are rectangular; success/filters are applied by the
+    writer (tools/collect_data.py).
+    """
+    episode_len = episode_len or env.episode_len
+    n_decisions = math.ceil(episode_len / action_horizon)
+
+    out = _collect_jit(env, policy, n_episodes, obs_horizon, action_horizon,
+                       episode_len, n_decisions,
+                       tuple(policy_obs_keys) if policy_obs_keys else None,
+                       add_optimal, float(action_noise), agent, rng)
+    return jax.device_get(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
+def _collect_jit(env, policy, n_episodes, obs_horizon, action_horizon,
+                 episode_len, n_decisions, policy_obs_keys, add_optimal,
+                 action_noise, agent, rng):
+    reset_rng, policy_rng = jax.random.split(rng)
+    reset_rngs = jax.random.split(reset_rng, n_episodes)
+    states, obs = jax.vmap(env.reset)(reset_rngs)
+    window = {k: jnp.repeat(v[:, None], obs_horizon, axis=1)
+              for k, v in obs.items()}
+
+    def policy_view(window):
+        view = ({k: window[k] for k in policy_obs_keys if k in window}
+                if policy_obs_keys else dict(window))
+        if add_optimal:
+            any_leaf = next(iter(window.values()))
+            view["optimal"] = jnp.ones((any_leaf.shape[0], obs_horizon, 1))
+        return view
+
+    def decision(carry, d_rng):
+        states, window = carry
+        a_rng, n_rng = jax.random.split(d_rng)
+        actions = policy(agent, policy_view(window), a_rng)[:, :action_horizon]
+        if action_noise > 0:
+            actions = actions + action_noise * jax.random.normal(
+                n_rng, actions.shape)
+
+        def act(carry, a_t):
+            states, window = carry
+            new_states, new_obs, r, s = jax.vmap(env.step)(states, a_t)
+            window = _push_window(window, new_obs)
+            return (new_states, window), dict(obs=new_obs, action=a_t,
+                                              reward=r, success=s)
+
+        (states, window), ys = jax.lax.scan(act, (states, window),
+                                            jnp.swapaxes(actions, 0, 1))
+        return (states, window), ys
+
+    d_rngs = jax.random.split(policy_rng, n_decisions)
+    (_, _), traj = jax.lax.scan(decision, (states, window), d_rngs)
+
+    # (n_decisions, action_horizon, ...) -> time-major (T, N, ...) -> (N, T, ...)
+    def merge(x):
+        x = x.reshape((-1,) + x.shape[2:])
+        return jnp.swapaxes(x, 0, 1)
+
+    return dict(first_obs=obs, obs=jax.tree_util.tree_map(merge, traj["obs"]),
+                actions=merge(traj["action"]), rewards=merge(traj["reward"]),
+                success=merge(traj["success"]))
+
+
+def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
+                            episode_len: int | None = None,
+                            noise: float = 0.0) -> dict:
+    """Roll out the env's built-in scripted expert (env.scripted_action).
+
+    Device-side counterpart of scripted demo generation
+    (collect_aloha_scripted_demos.py incl. its inject_noise option) — the
+    expert runs inside the same jitted scan as the physics, so demo datasets
+    regenerate in seconds.
+    """
+    episode_len = episode_len or env.episode_len
+    out = _scripted_jit(env, n_episodes, episode_len, float(noise), rng)
+    return jax.device_get(out)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3))
+def _scripted_jit(env, n_episodes, episode_len, noise, rng):
+    reset_rng, act_rng = jax.random.split(rng)
+    states, obs = jax.vmap(env.reset)(jax.random.split(reset_rng, n_episodes))
+
+    def step(carry, t_rng):
+        states = carry
+        a_rngs = jax.random.split(t_rng, n_episodes)
+        actions = jax.vmap(lambda s, r: env.scripted_action(s, r, noise))(
+            states, a_rngs)
+        new_states, new_obs, r, s = jax.vmap(env.step)(states, actions)
+        return new_states, dict(obs=new_obs, action=actions, reward=r,
+                                success=s)
+
+    _, traj = jax.lax.scan(step, states, jax.random.split(act_rng, episode_len))
+    swap = lambda x: jnp.swapaxes(x, 0, 1)  # (T, N, ...) -> (N, T, ...)
+    return dict(first_obs=obs, obs=jax.tree_util.tree_map(swap, traj["obs"]),
+                actions=swap(traj["action"]), rewards=swap(traj["reward"]),
+                success=swap(traj["success"]))

@@ -1,0 +1,202 @@
+"""Training workspace: the shared engine behind train_bc / train_mixed_bc /
+train_vae drivers.
+
+Capability parity with the reference Workspaces (train_bc.py:24-240,
+train_mixed_bc.py:24-262, train_vae.py): instantiate data + agent from
+config, shard batches over the dp mesh, jitted update per step, periodic
+log / offline-eval (action MSE vs demos) / env rollout / checkpoint.
+
+TPU-first: batches are already device-resident (data layer), params are
+explicitly replicated over the mesh, eval rollouts run on the fused device
+engine (rollout/engine.py) instead of worker processes.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Iterator
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..parallel import mesh as meshlib
+from ..rollout import engine as rollout_engine
+from ..utils import media
+from ..utils.config import Config, instantiate, save_config
+from ..utils.logger import Logger
+from ..utils.timers import Every, Timer
+from .checkpoint import Checkpointer, apply_params_snapshot
+
+
+class Workspace:
+    def __init__(self, cfg: Config, work_dir: str | Path | None = None):
+        self.cfg = cfg
+        self.work_dir = Path(work_dir or cfg.get("work_dir", "experiments/run"))
+        self.work_dir.mkdir(parents=True, exist_ok=True)
+        save_config(cfg, self.work_dir / "config.yaml")
+
+        self.logger = Logger(self.work_dir, use_tb=cfg.get("use_tb", False))
+        self.ckpt = Checkpointer(self.work_dir / "ckpt")
+        self.timer = Timer()
+        self.rng = jax.random.PRNGKey(cfg.get("seed", 0))
+
+        self.data = instantiate(cfg.data)
+        self.mixed_data = (instantiate(cfg.mixed_data)
+                           if "mixed_data" in cfg else None)
+        self.mesh = meshlib.make_mesh()
+        self.agent: Any = None
+        self.step = 0
+        self._env = None
+
+    # ------------------------------------------------------------------
+    def init_agent(self, init_batch: dict) -> None:
+        self.rng, rng = jax.random.split(self.rng)
+        agent_cfg = dict(self.cfg.agent)
+        vae_snapshot_path = agent_cfg.pop("vae_pretrain_path", None)
+        self.agent = instantiate(
+            agent_cfg, rng, init_batch, self.data.shape_meta)
+        if vae_snapshot_path:
+            snap = self.ckpt.restore_raw(vae_snapshot_path)
+            vp = snap.get("vae_ema_params") or snap.get("vae_params")
+            if vp is not None and hasattr(self.agent, "vae_params"):
+                self.agent = self.agent.replace(vae_params=vp)
+        if self.cfg.get("snapshot_path"):
+            snap = self.ckpt.restore_raw(self.cfg.snapshot_path)
+            self.agent = apply_params_snapshot(
+                self.agent, snap, self.cfg.get("restore_keys"))
+        self.agent = meshlib.replicate(self.agent, self.mesh)
+        n_params = sum(x.size for x in jax.tree_util.tree_leaves(
+            self.agent.get_params()))
+        self.logger.note(f"agent created: {n_params:.3e} trainable params, "
+                         f"mesh {dict(self.mesh.shape)}")
+
+    # ------------------------------------------------------------------
+    def run(self) -> None:
+        cfg = self.cfg
+        train_iter = self.data.train_dataloader()
+        mixed_iter = (self.mixed_data.train_dataloader()
+                      if self.mixed_data is not None else None)
+
+        batch = next(train_iter)
+        if self.agent is None:
+            self.init_agent(batch)
+
+        log_every = Every(cfg.get("log_every", 100))
+        eval_every = Every(cfg.get("eval_every", 10_000))
+        save_every = Every(cfg.get("save_every", 50_000))
+        n_steps = cfg.n_grad_steps
+
+        self.logger.note(f"training for {n_steps} steps")
+        t_last = time.perf_counter()
+        while self.step < n_steps:
+            with self.timer.section("update"):
+                self.rng, rng = jax.random.split(self.rng)
+                if mixed_iter is not None:
+                    mixed_batch = next(mixed_iter)
+                    self.agent, metrics = self.agent.update_mixed(
+                        batch, mixed_batch, rng, self.step)
+                else:
+                    self.agent, metrics = self.agent.update(
+                        batch, rng, self.step)
+            with self.timer.section("data"):
+                batch = next(train_iter)
+
+            if log_every(self.step):
+                jax.block_until_ready(metrics)
+                now = time.perf_counter()
+                sps = (cfg.get("log_every", 100) / (now - t_last)
+                       if self.step else 0.0)
+                t_last = now
+                self.logger.log_metrics(metrics, self.step, "train")
+                self.logger.log_metrics(self.timer.averages(), self.step,
+                                        "train")
+                self.logger.log_metrics({"steps_per_sec": sps}, self.step,
+                                        "train")
+                self.logger.dump(self.step, "train")
+            if save_every(self.step) and self.step > 0:
+                self.save_snapshot()
+            if eval_every(self.step) and self.step > 0:
+                self.eval()
+            self.step += 1
+
+        self.save_snapshot()
+        self.eval()
+
+    # ------------------------------------------------------------------
+    def eval(self) -> None:
+        """Offline action-MSE + batched env rollout (parity train_bc.py:
+        132-201)."""
+        cfg = self.cfg
+        self.rng, rng = jax.random.split(self.rng)
+
+        # offline: action MSE/L1 vs ground-truth windows
+        eval_iter = self.data.eval_dataloader()
+        for split, it in (("train", self.data.train_dataloader()),
+                          ("eval", eval_iter)):
+            batch = next(it)
+            rng, sub = jax.random.split(rng)
+            try:
+                pred = self.agent.sample_action(batch, sub)
+                gt = jnp.asarray(batch["actions"])[:, : pred.shape[1]]
+                mse = float(jnp.mean((pred - gt) ** 2))
+                l1 = float(jnp.mean(jnp.abs(pred - gt)))
+                self.logger.log_metrics(
+                    {f"{split}_action_mse": mse, f"{split}_action_l1": l1},
+                    self.step, "eval")
+            except (AttributeError, NotImplementedError):
+                pass
+            rng, sub = jax.random.split(rng)
+            metrics = self.agent.get_metrics(batch, sub)
+            self.logger.log_metrics(
+                {f"{split}_{k}": v for k, v in metrics.items()},
+                self.step, "eval")
+
+        # env rollout on the fused device engine
+        if cfg.get("n_eval_episodes", 0) > 0 and self._make_env() is not None:
+            rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
+            out = rollout_engine.run_batched_eval(
+                self._env, self.agent, cfg.n_eval_episodes, sub,
+                obs_horizon=cfg.obs_horizon,
+                action_horizon=cfg.action_horizon,
+                policy_obs_keys=self._policy_obs_keys(),
+                add_optimal="optimal" in self._policy_obs_keys(),
+                video_envs=min(2, cfg.n_eval_episodes))
+            wall = time.perf_counter() - t0
+            m = dict(out["metrics"])
+            m["total_time"] = wall
+            m["env_steps_per_sec"] = (m["horizon"] * m["n_episodes"]) / wall
+            self.logger.log_metrics(m, self.step, "eval")
+            if "videos" in out:
+                vid_dir = self.work_dir / "video"
+                for i, v in enumerate(out["videos"]):
+                    media.save_video(vid_dir / f"{self.step}_{i}.mp4", v)
+        self.logger.dump(self.step, "eval")
+
+    def _policy_obs_keys(self) -> tuple[str, ...]:
+        meta = self.data.meta
+        keys = list(meta["lowdim_obs"])
+        for k in meta["rgb_obs"]:
+            # latent keys are encoded from their raw camera stream at eval
+            keys.append(k[len("latent_"):] if k.startswith("latent_") else k)
+        return tuple(keys)
+
+    def _make_env(self):
+        if self._env is None and self.data.env_params.get("env"):
+            self._env = instantiate(self.data.env_params["env"])
+        return self._env
+
+    # ------------------------------------------------------------------
+    def save_snapshot(self) -> None:
+        with self.timer.section("save"):
+            self.ckpt.save_params(self.step, self.agent.get_params())
+            if self.cfg.get("save_full_state", True):
+                self.ckpt.save_state(self.step, self.agent,
+                                     config=self.cfg.to_dict())
+        self.logger.note(f"saved snapshot @ {self.step}")
+
+    def load_snapshot(self, path: str | Path) -> None:
+        snap = self.ckpt.restore_raw(path)
+        self.agent = apply_params_snapshot(self.agent, snap)

@@ -338,7 +338,10 @@ def instantiate(cfg: Any, /, *args: Any, **kwargs: Any) -> Any:
     """Instantiate a ``_target_``-bearing config node (recursively).
 
     ``_partial_: true`` returns ``functools.partial`` instead of calling.
-    Extra kwargs override config values.
+    ``_defer_: true`` leaves the node as a plain config dict (with
+    ``_target_`` kept, ``_defer_`` dropped) for the callee to instantiate
+    later with extra kwargs — used by agent configs whose network sub-configs
+    need runtime dims (input_dim etc.). Extra kwargs override config values.
     """
     import functools
 
@@ -350,6 +353,8 @@ def instantiate(cfg: Any, /, *args: Any, **kwargs: Any) -> Any:
         return Config({k: instantiate(v) for k, v in cfg.items()})
 
     node = dict(cfg)
+    if node.pop("_defer_", False) and not kwargs:
+        return Config(node)
     target = locate(node.pop("_target_"))
     partial = bool(node.pop("_partial_", False))
     node.pop("_groups_", None)

@@ -1,0 +1,196 @@
+"""Agent tests: tiny dims, all four agents — update, gating, sampling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from latent_diffusion_planning_tpu.models.agents import (DPAgent, DPVAEAgent,
+                                                         LDPAgent,
+                                                         LDPHierAgent)
+
+UNET = "latent_diffusion_planning_tpu.models.nets.unet1d.ConditionalUnet1D"
+MLPD = "latent_diffusion_planning_tpu.models.nets.mlp.MLPDiffusion"
+RESNET = "latent_diffusion_planning_tpu.models.nets.resnet.ResNetEncoder"
+
+STATS = {
+    "obs": {
+        "robot0_eef_pos": {"min": [-1.0] * 3, "max": [1.0] * 3},
+        "latent_agentview_image": {"min": -8.0, "max": 8.0},
+        "agentview_image": {"min": 0, "max": 255},
+    },
+    "actions": {"clip_min": -1, "clip_max": 1},
+}
+SHAPE_META = {"ac_dim": 4, "all_shapes": {"robot0_eef_pos": [3],
+                                          "agentview_image": [16, 16, 3]}}
+TINY_VAE = {"block_out_channels": [8, 8, 8], "norm_groups": 4,
+            "use_mid_attention": False}
+
+
+def _latent_batch(B=4, H=9, key=0):
+    rng = np.random.default_rng(key)
+    return {
+        "obs": {
+            "robot0_eef_pos": jnp.asarray(rng.normal(size=(B, H, 3)) * 0.3,
+                                          jnp.float32),
+            "latent_agentview_image": jnp.asarray(rng.normal(size=(B, H, 16)),
+                                                  jnp.float32),
+        },
+        "actions": jnp.asarray(np.clip(rng.normal(size=(B, H, 4)), -1, 1),
+                               jnp.float32),
+    }
+
+
+@pytest.fixture(scope="module")
+def ldp():
+    return LDPAgent.create(
+        jax.random.PRNGKey(0), _latent_batch(), SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        idm_net={"_target_": MLPD, "n_blocks": 1, "hidden_dim": 32,
+                 "time_dim": 16},
+        vae=TINY_VAE, vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=8,
+        action_horizon=4, planner_n_diffusion_steps=5,
+        idm_n_diffusion_steps=5, warmup_steps=2, decay_steps=50,
+        update_idm_after=2, update_planner_until=4)
+
+
+def test_ldp_update_and_gating(ldp):
+    batch = _latent_batch(key=1)
+    rng = jax.random.PRNGKey(0)
+    # step 0: planner only (idm gated by update_idm_after=2)
+    a1, m1 = ldp.update(batch, rng, step=0)
+    assert float(m1["idm_loss"]) == 0.0
+    assert float(m1["plan_loss"]) > 0.0
+    assert int(a1.planner_state.step) == 1 and int(a1.idm_state.step) == 0
+    # step 3: both
+    a2, m2 = a1.update(batch, rng, step=3)
+    assert float(m2["idm_loss"]) > 0.0 and float(m2["plan_loss"]) > 0.0
+    # step 5: planner stopped (update_planner_until=4)
+    a3, m3 = a2.update(batch, rng, step=5)
+    assert float(m3["plan_loss"]) == 0.0 and float(m3["idm_loss"]) > 0.0
+    assert int(a3.planner_state.step) == int(a2.planner_state.step)
+
+
+def test_ldp_update_mixed_uses_mixed_for_idm(ldp):
+    batch = _latent_batch(key=2)
+    mixed = _latent_batch(key=3)
+    agent, metrics = ldp.update_mixed(batch, mixed, jax.random.PRNGKey(1),
+                                      step=3)
+    assert float(metrics["idm_loss"]) > 0
+    assert float(metrics["plan_loss"]) > 0
+
+
+def test_ldp_sample_action_shapes(ldp):
+    batch = _latent_batch(key=4)
+    acts = ldp.sample_action(batch, jax.random.PRNGKey(2))
+    # (B, H-1, A) consecutive-pair decode
+    assert acts.shape == (4, 8, 4)
+    assert np.abs(np.asarray(acts)).max() <= 1.0 + 1e-5
+
+
+def test_ldp_sample_viz_full_inference(ldp):
+    window = {"obs": {k: v[:, :1] for k, v in _latent_batch(key=5)["obs"].items()}}
+    acts, metrics = ldp.sample(window, jax.random.PRNGKey(3))
+    assert acts.shape == (4, 4, 4)  # action_horizon
+    assert metrics["plan_viz"].shape[1] == 5  # action_horizon + current
+    assert "plan_mse" not in metrics  # inference window has no future
+
+
+def test_ldp_plan_mse_on_training_window(ldp):
+    batch = _latent_batch(key=6)
+    _, metrics = ldp.sample_viz(batch, jax.random.PRNGKey(4))
+    assert "plan_mse" in metrics and np.isfinite(float(metrics["plan_mse"]))
+
+
+def test_ldp_sample_action_from_plan(ldp):
+    window = {"obs": {k: v[:, :1] for k, v in _latent_batch(key=7)["obs"].items()}}
+    plan = jnp.zeros((4, 1, 19))  # obs_dim = 16 + 3
+    acts = ldp.sample_action_from_plan(window, plan, jax.random.PRNGKey(5))
+    assert acts.shape == (4, 1, 4)
+
+
+def test_ldp_hier_chunks():
+    agent = LDPHierAgent.create(
+        jax.random.PRNGKey(0), _latent_batch(), SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32], "downsample": False},
+        idm_net={"_target_": UNET, "down_dims": [16, 32], "downsample": False},
+        idm_horizon=4, vae=TINY_VAE, vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=8,
+        action_horizon=4, planner_n_diffusion_steps=5, idm_n_diffusion_steps=5,
+        warmup_steps=2, decay_steps=50)
+    batch = _latent_batch(key=8)
+    agent, metrics = agent.update(batch, jax.random.PRNGKey(1), step=0)
+    assert np.isfinite(float(metrics["loss"]))
+    window = {"obs": {k: v[:, :1] for k, v in batch["obs"].items()}}
+    acts, m = agent.sample(window, jax.random.PRNGKey(2))
+    # plan_len = pred/idm = 2 strided latents -> 2 chunks * idm_horizon
+    assert acts.shape == (4, 8, 4)
+    assert m["plan_viz"].shape[1] == 8  # repeated per control step
+
+
+def test_ldp_hier_requires_divisible_horizon():
+    with pytest.raises(AssertionError):
+        LDPHierAgent.create(
+            jax.random.PRNGKey(0), _latent_batch(), SHAPE_META,
+            planner={"_target_": UNET}, idm_net={"_target_": UNET},
+            idm_horizon=3, action_horizon=4, vae=TINY_VAE,
+            lowdim_obs=["robot0_eef_pos"],
+            rgb_obs=["latent_agentview_image"], obs_normalization=STATS)
+
+
+def _image_batch(B=2, H=4, size=16, key=0):
+    rng = np.random.default_rng(key)
+    return {
+        "obs": {
+            "robot0_eef_pos": jnp.asarray(rng.normal(size=(B, H, 3)) * 0.3,
+                                          jnp.float32),
+            "agentview_image": jnp.asarray(
+                rng.integers(0, 256, size=(B, H, size, size, 3)), jnp.uint8),
+        },
+        "actions": jnp.asarray(np.clip(rng.normal(size=(B, H, 4)), -1, 1),
+                               jnp.float32),
+    }
+
+
+def test_dp_agent_pixels():
+    batch = _image_batch()
+    agent = DPAgent.create(
+        jax.random.PRNGKey(0), batch, SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        encoder={"_target_": RESNET, "stage_sizes": [1, 1], "n_filters": 8,
+                 "pooling_method": "spatial_softmax"},
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=4,
+        action_horizon=2, n_diffusion_steps=5, warmup_steps=2, decay_steps=50)
+    agent2, metrics = agent.update(batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # EMA moved on both planner and encoder
+    assert int(agent2.planner_state.step) == 1
+    window = {"obs": {k: v[:, :1] for k, v in batch["obs"].items()}}
+    acts, m = agent2.sample(window, jax.random.PRNGKey(2))
+    assert acts.shape == (2, 2, 4)
+
+
+def test_dp_vae_agent_with_random_shift():
+    batch = _image_batch()
+    stats = dict(STATS)
+    agent = DPVAEAgent.create(
+        jax.random.PRNGKey(0), batch, SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        # tiny VAE: 16px, 2 downsamples -> 4x4 grid, 1 channel = 16-dim latent
+        vae={"block_out_channels": [8, 8, 8], "norm_groups": 4,
+             "latent_channels": 1, "use_mid_attention": False},
+        vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=stats, obs_horizon=1, pred_horizon=4,
+        action_horizon=2, n_diffusion_steps=5, random_shift=2, use_ema=True,
+        warmup_steps=2, decay_steps=50)
+    # raw pixels in; update VAE-encodes them to latent conditioning:
+    agent2, metrics = agent.update(batch, jax.random.PRNGKey(1), 0)
+    assert np.isfinite(float(metrics["loss"]))
+    window = {"obs": {k: v[:, :1] for k, v in batch["obs"].items()}}
+    acts, m = agent2.sample(window, jax.random.PRNGKey(2))
+    assert acts.shape == (2, 2, 4)

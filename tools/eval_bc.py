@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Offline checkpoint sweep: reload every checkpoint of a run and evaluate.
+
+Parity with the reference eval_bc.py: glob ``ckpt/*.ckpt`` of a finished run,
+reload each, compute action-MSE stats on train+eval data and batched env
+rollouts. The fragile hydra config "surgery" of the reference
+(eval_bc.py:264-396) is unnecessary — each run stores its fully-resolved
+config.yaml, which this driver reloads directly (overrides still apply).
+"""
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from latent_diffusion_planning_tpu.utils.runtime import setup as _setup_runtime
+_setup_runtime()
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from latent_diffusion_planning_tpu.rollout import engine
+from latent_diffusion_planning_tpu.train.checkpoint import (
+    Checkpointer, apply_params_snapshot)
+from latent_diffusion_planning_tpu.utils.config import (_configify, instantiate,
+                                                        load_config, merge,
+                                                        parse_cli, resolve)
+from latent_diffusion_planning_tpu.utils.logger import Logger
+
+
+def main(argv=None) -> None:
+    name, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    cfg = load_config(name or "eval_bc", overrides)
+
+    run_dir = Path(cfg.run_dir)
+    run_cfg = _configify(yaml.safe_load((run_dir / "config.yaml").read_text()))
+    run_cfg = merge(run_cfg, {k: v for k, v in cfg.items()
+                              if k not in ("run_dir", "_groups_")})
+    resolve(run_cfg)
+
+    data = instantiate(run_cfg.data)
+    batch = next(data.train_dataloader())
+    agent_cfg = dict(run_cfg.agent)
+    agent_cfg.pop("vae_pretrain_path", None)
+    base_agent = instantiate(agent_cfg, jax.random.PRNGKey(0), batch,
+                             data.shape_meta)
+
+    logger = Logger(run_dir / "eval_sweep")
+    ckpt = Checkpointer(run_dir / "ckpt")
+    env = (instantiate(data.env_params["env"])
+           if data.env_params.get("env") else None)
+    meta = data.meta
+    policy_keys = tuple(list(meta["lowdim_obs"]) + [
+        (k[len("latent_"):] if k.startswith("latent_") else k)
+        for k in meta["rgb_obs"] if k != "optimal"])
+
+    rng = jax.random.PRNGKey(cfg.get("seed", 1111111))
+    train_iter = data.train_dataloader()
+    eval_iter = data.eval_dataloader()
+    for path in ckpt.list_checkpoints():
+        step = int(path.name.split(".")[0])
+        agent = apply_params_snapshot(base_agent, ckpt.restore_raw(path))
+
+        for split, it in (("train", train_iter), ("eval", eval_iter)):
+            b = next(it)
+            rng, sub = jax.random.split(rng)
+            pred = agent.sample_action(b, sub)
+            gt = jnp.asarray(b["actions"])[:, : pred.shape[1]]
+            logger.log_metrics(
+                {f"{split}_action_mse": float(jnp.mean((pred - gt) ** 2)),
+                 f"{split}_action_l1": float(jnp.mean(jnp.abs(pred - gt)))},
+                step, "eval")
+
+        if env is not None and cfg.get("n_eval_episodes", 0) > 0:
+            rng, sub = jax.random.split(rng)
+            out = engine.run_batched_eval(
+                env, agent, cfg.n_eval_episodes, sub,
+                obs_horizon=run_cfg.obs_horizon,
+                action_horizon=run_cfg.action_horizon,
+                policy_obs_keys=policy_keys,
+                add_optimal="optimal" in meta["lowdim_obs"])
+            logger.log_metrics(out["metrics"], step, "eval")
+            print(f"ckpt {step}: success={out['metrics']['success']:.2%} "
+                  f"reward={out['metrics']['reward']:.2f}")
+        logger.dump(step, "eval")
+
+
+if __name__ == "__main__":
+    main()
