@@ -20,6 +20,17 @@ def setup(cache_dir: str | None = None) -> None:
     JAX_COMPILATION_CACHE_DIR explicitly to turn it on."""
     import jax
 
+    # Honor JAX_PLATFORMS even when a sitecustomize (e.g. the axon TPU-tunnel
+    # shim in this image) force-registers another platform and overrides the
+    # env var via jax config. Without this, `JAX_PLATFORMS=cpu` driver runs
+    # still grab the TPU and serialize against every other process.
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        try:
+            jax.config.update("jax_platforms", env_platforms)
+        except Exception:
+            pass
+
     cache = cache_dir or os.environ.get("JAX_COMPILATION_CACHE_DIR")
     if not cache:
         return

@@ -22,6 +22,12 @@ if str(REPO_ROOT) not in sys.path:
 
 import jax  # noqa: E402
 
+# The TPU-tunnel sitecustomize in this image force-registers the 'axon'
+# platform and overrides jax_platforms, ignoring the env var — which also
+# makes concurrent test/train processes serialize on the single TPU. Re-apply
+# the env selection through the config API (this wins over the sitecustomize).
+jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+
 import pytest  # noqa: E402
 
 
