@@ -15,6 +15,7 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -26,6 +27,9 @@ import jax.numpy as jnp
 import numpy as np
 
 NORTH_STAR = 100_000.0  # env-steps/sec/chip (BASELINE.md north-star)
+# inference dtype: bfloat16 is the TPU serving dtype (fp32 params, bf16
+# compute); override with BENCH_DTYPE=float32
+BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def build(n_envs: int, episode_len: int, image_size: int = 64):
@@ -58,12 +62,13 @@ def build(n_envs: int, episode_len: int, image_size: int = 64):
         planner={"_target_": ("latent_diffusion_planning_tpu.models.nets."
                               "unet1d.ConditionalUnet1D"),
                  "down_dims": [256, 512, 1024], "kernel_size": 5,
-                 "n_groups": 8},
+                 "n_groups": 8, "compute_dtype": BENCH_DTYPE},
         idm_net={"_target_": ("latent_diffusion_planning_tpu.models.nets."
                               "mlp.MLPDiffusion"),
-                 "n_blocks": 3, "hidden_dim": 256, "time_dim": 64},
+                 "n_blocks": 3, "hidden_dim": 256, "time_dim": 64,
+                 "compute_dtype": BENCH_DTYPE},
         vae={"block_out_channels": [128, 256, 256, 256, 256, 256],
-             "norm_groups": 32},
+             "norm_groups": 32, "compute_dtype": BENCH_DTYPE},
         vae_feature_dim=16,
         lowdim_obs=["robot0_eef_pos", "robot0_eef_quat",
                     "robot0_gripper_qpos"],

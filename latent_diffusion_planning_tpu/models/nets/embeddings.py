@@ -55,3 +55,8 @@ class Mish(nn.Module):
 
 def mish(x: jnp.ndarray) -> jnp.ndarray:
     return x * jnp.tanh(nn.softplus(x))
+
+
+def canonical_dtype(dtype) -> jnp.dtype:
+    """Normalize a dtype-like (incl. config strings 'bfloat16') to jnp dtype."""
+    return jnp.dtype(dtype)

@@ -9,12 +9,12 @@ cond] → residual MLP trunk → action-dim output.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .embeddings import FourierFeatures, mish
+from .embeddings import FourierFeatures, canonical_dtype, mish
 
 default_init = nn.initializers.xavier_uniform
 
@@ -77,20 +77,23 @@ class MLPResNetBlock(nn.Module):
     activation: str = "relu"
     use_layer_norm: bool = True
     dropout_rate: float | None = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         act = _activation(self.activation)
+        dt = canonical_dtype(self.compute_dtype)
         residual = x
         if self.dropout_rate and self.dropout_rate > 0:
             x = nn.Dropout(rate=self.dropout_rate)(x, deterministic=not training)
         if self.use_layer_norm:
-            x = nn.LayerNorm()(x)
-        x = nn.Dense(self.features * 4)(x)
+            x = nn.LayerNorm(dtype=jnp.float32)(x)
+        x = nn.Dense(self.features * 4, dtype=dt, param_dtype=jnp.float32)(x)
         x = act(x)
-        x = nn.Dense(self.features)(x)
+        x = nn.Dense(self.features, dtype=dt, param_dtype=jnp.float32)(x)
         if residual.shape != x.shape:
-            residual = nn.Dense(self.features)(residual)
+            residual = nn.Dense(self.features, dtype=dt,
+                                param_dtype=jnp.float32)(residual)
         return residual + x
 
 
@@ -103,17 +106,21 @@ class MLPResNet(nn.Module):
     activation: str = "relu"
     use_layer_norm: bool = True
     dropout_rate: float | None = None
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, training: bool = False) -> jnp.ndarray:
         act = _activation(self.activation)
-        x = nn.Dense(self.hidden_dim, kernel_init=default_init())(x)
+        dt = canonical_dtype(self.compute_dtype)
+        x = nn.Dense(self.hidden_dim, kernel_init=default_init(), dtype=dt,
+                     param_dtype=jnp.float32)(x)
         for _ in range(self.n_blocks):
             x = MLPResNetBlock(self.hidden_dim, self.activation,
-                               self.use_layer_norm, self.dropout_rate)(
-                                   x, training=training)
+                               self.use_layer_norm, self.dropout_rate,
+                               self.compute_dtype)(x, training=training)
         x = act(x)
-        return nn.Dense(self.out_dim, kernel_init=default_init())(x)
+        return nn.Dense(self.out_dim, kernel_init=default_init(),
+                        dtype=jnp.float32, param_dtype=jnp.float32)(x)
 
 
 class MLPDiffusion(nn.Module):
@@ -131,6 +138,7 @@ class MLPDiffusion(nn.Module):
     use_layer_norm: bool = True
     dropout_rate: float | None = None
     learnable_time: bool = True
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, s: jnp.ndarray, a: jnp.ndarray, t: jnp.ndarray,
@@ -143,4 +151,5 @@ class MLPDiffusion(nn.Module):
         x = jnp.concatenate([a, s, cond], axis=-1)
         return MLPResNet(self.n_blocks, self.out_dim, self.hidden_dim,
                          use_layer_norm=self.use_layer_norm,
-                         dropout_rate=self.dropout_rate)(x, training=training)
+                         dropout_rate=self.dropout_rate,
+                         compute_dtype=self.compute_dtype)(x, training=training)

@@ -16,11 +16,12 @@ static H*W axis.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
+from .embeddings import canonical_dtype
 from .mlp import MLP
 
 
@@ -168,14 +169,14 @@ class ResNetEncoder(nn.Module):
     use_simnorm: bool = False
     use_simnorm_rescale: bool = False
     simnorm_dim: int = 8
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = True,
                  cond_var: jnp.ndarray | None = None) -> jnp.ndarray:
         assert sum([self.use_sigmoid, self.use_tanh, self.use_simnorm,
                     self.use_simnorm_rescale]) <= 1
-        dtype = self.compute_dtype
+        dtype = canonical_dtype(self.compute_dtype)
         if self.add_spatial_coordinates:
             x = AddSpatialCoordinates()(x)
 

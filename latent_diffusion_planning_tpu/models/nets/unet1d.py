@@ -16,12 +16,12 @@ TPU-first details:
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .embeddings import SinusoidalPosEmb, mish
+from .embeddings import SinusoidalPosEmb, canonical_dtype, mish
 
 default_init = nn.initializers.xavier_uniform
 
@@ -32,15 +32,16 @@ class ConvBlock1D(nn.Module):
     channels: int
     kernel_size: int = 5
     n_groups: int = 8
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = nn.Conv(self.channels, kernel_size=(self.kernel_size,),
-                    padding=self.kernel_size // 2, dtype=self.compute_dtype,
+                    padding=self.kernel_size // 2,
+                    dtype=canonical_dtype(self.compute_dtype),
                     param_dtype=jnp.float32)(x)
         x = nn.GroupNorm(num_groups=self.n_groups, dtype=jnp.float32)(x)
-        return mish(x).astype(self.compute_dtype)
+        return mish(x).astype(canonical_dtype(self.compute_dtype))
 
 
 class FiLMResBlock1D(nn.Module):
@@ -49,20 +50,20 @@ class FiLMResBlock1D(nn.Module):
     channels: int
     kernel_size: int = 5
     n_groups: int = 8
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, cond: jnp.ndarray) -> jnp.ndarray:
         h = ConvBlock1D(self.channels, self.kernel_size, self.n_groups,
                         self.compute_dtype)(x)
         film = nn.Dense(2 * self.channels, kernel_init=default_init(),
-                        dtype=self.compute_dtype, param_dtype=jnp.float32)(mish(cond))
+                        dtype=canonical_dtype(self.compute_dtype), param_dtype=jnp.float32)(mish(cond))
         scale, bias = jnp.split(film[:, None, :], 2, axis=-1)  # (B, 1, C) each
         h = scale * h + bias
         h = ConvBlock1D(self.channels, self.kernel_size, self.n_groups,
                         self.compute_dtype)(h)
         if x.shape[-1] != self.channels:
-            x = nn.Conv(self.channels, kernel_size=(1,), dtype=self.compute_dtype,
+            x = nn.Conv(self.channels, kernel_size=(1,), dtype=canonical_dtype(self.compute_dtype),
                         param_dtype=jnp.float32)(x)
         return h + x
 
@@ -81,7 +82,7 @@ class ConditionalUnet1D(nn.Module):
     kernel_size: int = 5
     n_groups: int = 8
     downsample: bool = True
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, sample: jnp.ndarray, timestep: jnp.ndarray,
@@ -94,14 +95,14 @@ class ConditionalUnet1D(nn.Module):
         d = self.diffusion_step_embed_dim
         temb = SinusoidalPosEmb(d)(t)
         temb = nn.Dense(4 * d, kernel_init=default_init(),
-                        dtype=self.compute_dtype, param_dtype=jnp.float32)(temb)
+                        dtype=canonical_dtype(self.compute_dtype), param_dtype=jnp.float32)(temb)
         temb = mish(temb)
         temb = nn.Dense(d, kernel_init=default_init(),
-                        dtype=self.compute_dtype, param_dtype=jnp.float32)(temb)
+                        dtype=canonical_dtype(self.compute_dtype), param_dtype=jnp.float32)(temb)
         cond = temb if global_cond is None else jnp.concatenate(
             [temb, global_cond.astype(temb.dtype)], axis=-1)
 
-        x = sample.astype(self.compute_dtype)
+        x = sample.astype(canonical_dtype(self.compute_dtype))
         skips = []
         for i, ch in enumerate(self.down_dims):
             x = FiLMResBlock1D(ch, self.kernel_size, self.n_groups,
@@ -111,7 +112,7 @@ class ConditionalUnet1D(nn.Module):
             skips.append(x)
             if self.downsample and i < len(self.down_dims) - 1:
                 x = nn.Conv(ch, kernel_size=(3,), strides=(2,),
-                            dtype=self.compute_dtype, param_dtype=jnp.float32)(x)
+                            dtype=canonical_dtype(self.compute_dtype), param_dtype=jnp.float32)(x)
 
         mid = self.down_dims[-1]
         x = FiLMResBlock1D(mid, self.kernel_size, self.n_groups,
@@ -127,7 +128,7 @@ class ConditionalUnet1D(nn.Module):
                                self.compute_dtype)(x, cond)
             if self.downsample:
                 x = nn.ConvTranspose(ch, kernel_size=(4,), strides=(2,),
-                                     dtype=self.compute_dtype,
+                                     dtype=canonical_dtype(self.compute_dtype),
                                      param_dtype=jnp.float32)(x)
 
         x = ConvBlock1D(self.down_dims[0], self.kernel_size, self.n_groups,

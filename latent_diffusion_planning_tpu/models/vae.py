@@ -35,7 +35,7 @@ nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
 class ResBlock2D(nn.Module):
     channels: int
     norm_groups: int = 32
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -80,7 +80,7 @@ class Encoder(nn.Module):
     layers_per_block: int = 2
     norm_groups: int = 32
     use_mid_attention: bool = True
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -115,7 +115,7 @@ class Decoder(nn.Module):
     layers_per_block: int = 2
     norm_groups: int = 32
     use_mid_attention: bool = True
-    compute_dtype: jnp.dtype = jnp.float32
+    compute_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -157,8 +157,7 @@ class KLVAE(nn.Module):
     compute_dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        dt = (jnp.bfloat16 if self.compute_dtype in ("bfloat16", jnp.bfloat16)
-              else jnp.float32)
+        dt = jnp.dtype(self.compute_dtype)
         self.encoder = Encoder(self.block_out_channels, self.latent_channels,
                                self.layers_per_block, self.norm_groups,
                                self.use_mid_attention, dt)
