@@ -89,6 +89,12 @@ class ConditionalUnet1D(nn.Module):
                  global_cond: jnp.ndarray | None = None,
                  training: bool = True) -> jnp.ndarray:
         B, T, _ = sample.shape
+        if self.downsample:
+            factor = 2 ** (len(self.down_dims) - 1)
+            assert T % factor == 0, (
+                f"sequence length {T} must be divisible by {factor} "
+                f"(downsample levels {len(self.down_dims)}); use an even "
+                f"pred_horizon (e.g. horizon-1) or downsample=false")
         t = jnp.broadcast_to(jnp.asarray(timestep), (B,))
 
         # diffusion-step encoder: SinPosEmb → Dense(4d) → Mish → Dense(d)

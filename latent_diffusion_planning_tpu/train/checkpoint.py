@@ -37,8 +37,12 @@ class Checkpointer:
     # -- full state ---------------------------------------------------------
     def save_state(self, step: int, agent: Any,
                    config: Mapping | None = None) -> Path:
-        """Save the complete agent pytree (resumable)."""
-        path = self.directory / f"{step}.ckpt"
+        """Save the complete agent pytree (resumable).
+
+        Stored as ``<step>.state`` next to the ``<step>.ckpt`` params
+        snapshot (same step, two artifacts — full state must not clobber the
+        reference-compatible params file)."""
+        path = self.directory / f"{step}.state"
         self._ckptr.save(path.resolve(), _to_host(agent), force=True)
         if config is not None:
             (self.directory / f"{step}.config.json").write_text(
@@ -68,6 +72,10 @@ class Checkpointer:
 
     def list_checkpoints(self) -> list[Path]:
         cs = [p for p in self.directory.glob("*.ckpt")]
+        return sorted(cs, key=lambda p: int(p.name.split(".")[0]))
+
+    def list_states(self) -> list[Path]:
+        cs = [p for p in self.directory.glob("*.state")]
         return sorted(cs, key=lambda p: int(p.name.split(".")[0]))
 
 

@@ -85,9 +85,10 @@ def test_checkpoint_full_state_roundtrip(tmp_path):
     model, _ = model.update(batch, jax.random.PRNGKey(0))
     ckpt = Checkpointer(tmp_path / "ckpt")
     ckpt.save_state(1, model, config={"a": 1})
+    assert ckpt.list_states() == [tmp_path / "ckpt" / "1.state"]
 
     fresh = _model()
-    restored = ckpt.restore_state(tmp_path / "ckpt" / "1.ckpt", fresh)
+    restored = ckpt.restore_state(tmp_path / "ckpt" / "1.state", fresh)
     assert int(restored.vae_state.step) == 1
     np.testing.assert_allclose(
         np.asarray(jax.tree_util.tree_leaves(restored.vae_state.params)[0]),
