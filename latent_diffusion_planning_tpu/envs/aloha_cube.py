@@ -57,10 +57,11 @@ class AlohaTransferCubeEnv:
     max_reward = 4.0
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
-                 episode_len: int = 400):
+                 episode_len: int = 400, renderer: str = "xla"):
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
+        self.renderer = renderer
         self.camera = R.look_at(pos=(0.0, -0.35, 0.6),
                                 lookat=(0.0, 0.5, 0.05))
 
@@ -172,7 +173,8 @@ class AlohaTransferCubeEnv:
                                [0.3, 0.8, 0.3], [0.15, 0.4, 0.15]]),
             kind=jnp.zeros((5,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render(scene, self.camera, self.image_size, self.image_size)
+        return R.render_scene(scene, self.camera, self.image_size,
+                              self.image_size, backend=self.renderer)
 
     def get_state(self, state: AlohaCubeState):
         return state

@@ -56,10 +56,11 @@ class LiftEnv:
     max_reward = 1.0
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
-                 episode_len: int = 400):
+                 episode_len: int = 400, renderer: str = "xla"):
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
+        self.renderer = renderer
         self.camera = R.look_at(pos=(0.55, 0.0, 1.25),
                                 lookat=(0.0, 0.0, TABLE_Z + 0.05))
 
@@ -146,7 +147,8 @@ class LiftEnv:
                                [0.2, 0.2, 0.25]]),     # fingers
             kind=jnp.zeros((3,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render(scene, self.camera, self.image_size, self.image_size)
+        return R.render_scene(scene, self.camera, self.image_size,
+                              self.image_size, backend=self.renderer)
 
     # ------------------------------------------------------------------
     def get_state(self, state: LiftState):

@@ -61,10 +61,11 @@ class LiftPhysicsEnv:
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
                  episode_len: int = 400, n_substeps: int = 10,
-                 dt: float = 0.002):
+                 dt: float = 0.002, renderer: str = "xla"):
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
+        self.renderer = renderer
         self.n_substeps = n_substeps
         self.world = _make_world()
         self.params = ph.PhysicsParams(dt=dt, mu=1.5, kt=2000.0)
@@ -169,7 +170,8 @@ class LiftPhysicsEnv:
                                [0.2, 0.2, 0.25]]),
             kind=jnp.asarray([0, 0, 1, 1], jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render(scene, self.camera, self.image_size, self.image_size)
+        return R.render_scene(scene, self.camera, self.image_size,
+                              self.image_size, backend=self.renderer)
 
     def get_state(self, state: LiftPhysState):
         return state

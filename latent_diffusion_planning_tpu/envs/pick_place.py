@@ -52,10 +52,11 @@ class _PickPlaceBase:
     obj_color: tuple
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
-                 episode_len: int = 400):
+                 episode_len: int = 400, renderer: str = "xla"):
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
+        self.renderer = renderer
         self.camera = R.look_at(pos=(0.55, 0.0, 1.25),
                                 lookat=(0.0, 0.0, TABLE_Z + 0.05))
 
@@ -215,7 +216,8 @@ class CanEnv(_PickPlaceBase):
                                [0.55, 0.45, 0.25], [0.55, 0.45, 0.25]]),
             kind=jnp.zeros((7,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render(scene, self.camera, self.image_size, self.image_size)
+        return R.render_scene(scene, self.camera, self.image_size,
+                              self.image_size, backend=self.renderer)
 
 
 PEG_POS = jnp.asarray([0.12, 0.12, TABLE_Z])
@@ -271,4 +273,5 @@ class SquareEnv(_PickPlaceBase):
                                [0.4, 0.4, 0.45]]),
             kind=jnp.zeros((4,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render(scene, self.camera, self.image_size, self.image_size)
+        return R.render_scene(scene, self.camera, self.image_size,
+                              self.image_size, backend=self.renderer)
