@@ -82,6 +82,17 @@ def axis_angle_to_quat(axis_angle: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
 
 
+def quat_from_unit_axis(axis: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Quaternion from a *known unit* axis and an angle.
+
+    Unlike ``axis_angle_to_quat`` this is smooth at angle = 0 (no norm of the
+    input), so gradients through revolute-joint kinematics stay finite.
+    """
+    angle = jnp.asarray(angle)[..., None]
+    half = angle / 2.0
+    return jnp.concatenate([jnp.cos(half), axis * jnp.sin(half)], axis=-1)
+
+
 def quat_to_axis_angle(q: jnp.ndarray) -> jnp.ndarray:
     """Quaternion (…, 4) wxyz → exponential coordinates (…, 3).
 
