@@ -249,6 +249,33 @@ class LDPAgent(flax.struct.PyTreeNode):
     def sample(self, batch, rng):
         return self.sample_viz(batch, rng)
 
+    def sample_fast(self, batch, rng):
+        """Full inference without the plan-image VAE decode.
+
+        The reference's eval always runs sample_viz (plan videos,
+        rm_env_utils.py:185); decoding action_horizon+1 frames through the
+        VAE decoder every decision dominates rollout wall time when videos
+        aren't consumed — this path skips it (same actions, no plan_viz).
+        """
+        batch = jax.jit(self._prepare_eval_batch)(batch)
+        return self._sample_fast_step(batch, rng)
+
+    @jax.jit
+    def _sample_fast_step(self, batch, rng):
+        c = self.config
+        obs_emb = self._obs_cond(batch["obs"])
+        B = obs_emb.shape[0]
+        cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
+        rng, plan_rng = jax.random.split(rng)
+        pred_plan = self._plan(cond, plan_rng)
+        plan = jnp.concatenate(
+            [obs_emb[:, c.obs_horizon - 1: c.obs_horizon],
+             pred_plan[:, : c.action_horizon]], axis=1)
+        pairs = common.consecutive_pairs(plan)
+        rng, idm_rng = jax.random.split(rng)
+        acts = self._idm_decode(pairs, idm_rng).reshape(B, -1, c.action_dim)
+        return nz.unnormalize_actions(acts, self.obs_normalization)
+
     def sample_viz(self, batch, rng):
         """Full inference: plan latents → decode actions; plus viz metrics.
 

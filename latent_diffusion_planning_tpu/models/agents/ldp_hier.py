@@ -89,6 +89,38 @@ class LDPHierAgent(LDPAgent):
         return nz.unnormalize_actions(acts, self.obs_normalization)
 
     @jax.jit
+    def _sample_fast_step(self, batch, rng):
+        """Hier inference without the plan-image VAE decode (see LDPAgent)."""
+        c = self.config
+        obs_emb = self._obs_cond(batch["obs"])
+        B = obs_emb.shape[0]
+        cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
+        rng, plan_rng = jax.random.split(rng)
+        plan_len = c.pred_horizon // c.idm_horizon
+        planner_params = self.planner_state.inference_params
+
+        def denoise(x, t):
+            return self.planner_state.apply_fn({"params": planner_params}, x,
+                                               t, cond)
+
+        shape = (B, plan_len, c.obs_dim)
+        if (c.planner_inference_steps
+                and c.planner_inference_steps < self.planner_sched.num_steps):
+            pred_plan = dlib.sample_ddim(self.planner_sched, denoise, plan_rng,
+                                         shape, c.planner_inference_steps)
+        else:
+            pred_plan = dlib.sample_ddpm(self.planner_sched, denoise, plan_rng,
+                                         shape)
+        plan = jnp.concatenate(
+            [obs_emb[:, c.obs_horizon - 1: c.obs_horizon],
+             pred_plan[:, : c.action_horizon]], axis=1)
+        pairs = common.consecutive_pairs(plan)
+        rng, idm_rng = jax.random.split(rng)
+        chunks = self._idm_decode_chunks(pairs, idm_rng)
+        acts = chunks.reshape(B, -1, c.action_dim)
+        return nz.unnormalize_actions(acts, self.obs_normalization)
+
+    @jax.jit
     def _sample_viz_step(self, batch, rng):
         c = self.config
         obs_emb = self._obs_cond(batch["obs"])

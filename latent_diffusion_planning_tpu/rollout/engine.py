@@ -39,7 +39,20 @@ persists across eval calls (the agent itself is a traced pytree argument).
 
 
 def agent_sample_policy(agent, obs_window, rng) -> jnp.ndarray:
-    """Default adapter: the agent's full ``sample`` path, actions only."""
+    """Default adapter: the agent's fastest full-inference path.
+
+    Prefers ``sample_fast`` (skips visualization-only work such as LDP's
+    per-decision plan-image VAE decode — measured ~5x rollout throughput);
+    falls back to ``sample``.
+    """
+    if hasattr(agent, "sample_fast"):
+        return agent.sample_fast({"obs": dict(obs_window)}, rng)
+    out = agent.sample({"obs": dict(obs_window)}, rng)
+    return out[0] if isinstance(out, tuple) else out
+
+
+def agent_sample_viz_policy(agent, obs_window, rng) -> jnp.ndarray:
+    """Viz adapter: always the full ``sample`` path (plan videos etc.)."""
     out = agent.sample({"obs": dict(obs_window)}, rng)
     return out[0] if isinstance(out, tuple) else out
 
