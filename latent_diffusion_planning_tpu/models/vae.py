@@ -39,13 +39,16 @@ class ResBlock2D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        # norms run in the compute dtype: fp32 GroupNorm traffic at 64x64
+        # was measured as ~97% of rollout wall time (RESULTS.md); params
+        # stay fp32
         h = nn.GroupNorm(num_groups=min(self.norm_groups, x.shape[-1]),
-                         dtype=jnp.float32)(x)
+                         dtype=self.compute_dtype)(x)
         h = nn.silu(h).astype(self.compute_dtype)
         h = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.compute_dtype,
                     param_dtype=jnp.float32)(h)
         h = nn.GroupNorm(num_groups=min(self.norm_groups, self.channels),
-                         dtype=jnp.float32)(h)
+                         dtype=self.compute_dtype)(h)
         h = nn.silu(h).astype(self.compute_dtype)
         h = nn.Conv(self.channels, (3, 3), padding=1, dtype=self.compute_dtype,
                     param_dtype=jnp.float32)(h)
