@@ -39,7 +39,7 @@ def build(n_envs: int, episode_len: int, image_size: int = 64):
     from latent_diffusion_planning_tpu.models.agents import LDPAgent
 
     env = LiftEnv(image_size=image_size, render_images=True,
-                  episode_len=episode_len)
+                  episode_len=episode_len, renderer="pallas")
 
     B, H = 4, 9
     rng = np.random.default_rng(0)

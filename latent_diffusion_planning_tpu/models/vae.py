@@ -84,13 +84,25 @@ class Encoder(nn.Module):
     norm_groups: int = 32
     use_mid_attention: bool = True
     compute_dtype: Any = jnp.float32
+    patch_size: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         dt = self.compute_dtype
         x = x.astype(dt)
-        x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1, dtype=dt,
-                    param_dtype=jnp.float32)(x)
+        if self.patch_size > 1:
+            # Patchified stem (TPU-first): one stride-p conv folds the full-
+            # resolution grid into MXU-shaped matmuls. A conventional conv
+            # stack at 64x64 with <128 channels runs at <20% MXU utilization
+            # (measured, RESULTS.md round 2); the patch stem moves all
+            # spatial work to <=16x16 where channel dims fill the 128-lane
+            # systolic array.
+            p = self.patch_size
+            x = nn.Conv(self.block_out_channels[0], (p, p), strides=(p, p),
+                        dtype=dt, param_dtype=jnp.float32, name="patch_stem")(x)
+        else:
+            x = nn.Conv(self.block_out_channels[0], (3, 3), padding=1,
+                        dtype=dt, param_dtype=jnp.float32)(x)
         for i, ch in enumerate(self.block_out_channels):
             for _ in range(self.layers_per_block):
                 x = ResBlock2D(ch, self.norm_groups, dt)(x)
@@ -119,6 +131,7 @@ class Decoder(nn.Module):
     norm_groups: int = 32
     use_mid_attention: bool = True
     compute_dtype: Any = jnp.float32
+    patch_size: int = 1
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -142,13 +155,31 @@ class Decoder(nn.Module):
         x = nn.GroupNorm(num_groups=min(self.norm_groups, x.shape[-1]),
                          dtype=jnp.float32)(x)
         x = nn.silu(x).astype(dt)
-        x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
-                    param_dtype=jnp.float32)(x)
+        if self.patch_size > 1:
+            # un-patchify head: predict p*p*C per cell, pixel-shuffle out.
+            p = self.patch_size
+            x = nn.Conv(self.out_channels * p * p, (3, 3), padding=1,
+                        dtype=jnp.float32, param_dtype=jnp.float32,
+                        name="unpatch_head")(x)
+            B, H, W, _ = x.shape
+            x = x.reshape(B, H, W, p, p, self.out_channels)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(
+                B, H * p, W * p, self.out_channels)
+        else:
+            x = nn.Conv(self.out_channels, (3, 3), padding=1, dtype=jnp.float32,
+                        param_dtype=jnp.float32)(x)
         return x
 
 
 class KLVAE(nn.Module):
-    """Full autoencoder; images NHWC in [-1, 1]."""
+    """Full autoencoder; images NHWC in [-1, 1].
+
+    ``patch_size`` > 1 selects the TPU-first patchified variant: the encoder
+    stem is a stride-p pxp conv and the decoder head a pixel-shuffle — same
+    latent geometry at a fraction of the (MXU-hostile) full-resolution conv
+    work. patch_size=1 reproduces the reference AutoencoderKL topology
+    (model/stable_vae_model.yaml).
+    """
 
     block_out_channels: Sequence[int] = (128, 256, 256, 256, 256, 256)
     in_channels: int = 3
@@ -158,19 +189,24 @@ class KLVAE(nn.Module):
     norm_groups: int = 32
     use_mid_attention: bool = True
     compute_dtype: Any = jnp.float32
+    patch_size: int = 1
 
     def setup(self) -> None:
         dt = jnp.dtype(self.compute_dtype)
         self.encoder = Encoder(self.block_out_channels, self.latent_channels,
                                self.layers_per_block, self.norm_groups,
-                               self.use_mid_attention, dt)
+                               self.use_mid_attention, dt, self.patch_size)
         self.decoder = Decoder(self.block_out_channels, self.out_channels,
                                self.layers_per_block, self.norm_groups,
-                               self.use_mid_attention, dt)
+                               self.use_mid_attention, dt, self.patch_size)
 
     @property
     def n_downsample(self) -> int:
-        return len(self.block_out_channels) - 1
+        p, n = self.patch_size, 0
+        while p > 1:
+            p //= 2
+            n += 1
+        return n + len(self.block_out_channels) - 1
 
     def encode(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
         return self.encoder(x)

@@ -9,7 +9,9 @@ diffusion and the ``action_horizon`` env steps execute inside the same
 compiled program, and the host only sees the final metrics.
 
 Episode semantics parity (rm_env_utils.py:36-88):
-- one seeded reset per episode (deterministic given the base seed),
+- one seeded reset per episode; episodes are *individually addressable* by an
+  integer seed (parity with the reference's explicit seed list,
+  rm_env_utils.py:107: seeds = seed..seed+n-1) via ``episode_seeds``,
 - an ``obs_horizon`` observation window (deque → rolling device window),
 - per decision the policy returns an action chunk; the env consumes
   ``action_horizon`` of it,
@@ -17,6 +19,15 @@ Episode semantics parity (rm_env_utils.py:36-88):
   accumulates until termination; ``horizon`` is steps-to-termination,
 - the ``optimal`` obs flag is synthesized as 1.0 at eval
   (rm_env_utils.py:177-179).
+
+Lazy observation: the eval scan carries the last ``obs_horizon`` env *states*
+(small lowdim pytrees), not observations. The obs window — including camera
+renders — is materialized from that history only at decision boundaries, so
+per-step renders inside the action chunk are never computed (XLA DCE): with
+action_horizon=4 this cuts rendering 4x, and it is what lets the policy-bound
+rollout approach the renderer's own throughput ceiling. Video frames for the
+first ``video_envs`` episodes are rendered per step separately (cost scales
+with video_envs, not with the env batch).
 """
 
 from __future__ import annotations
@@ -75,20 +86,30 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
                      add_optimal: bool = False,
                      video_envs: int = 0,
                      video_key: str = "agentview_image",
+                     episode_seeds: Any = None,
                      policy: PolicyFn = agent_sample_policy) -> dict:
     """Run ``n_episodes`` parallel episodes; returns host-side metrics.
 
     ``policy_obs_keys`` restricts what the policy sees (None = all env obs);
     ``video_envs`` > 0 captures that many episodes' frames of ``video_key``.
+    ``episode_seeds`` is an optional int array of per-episode seeds — episode
+    i's reset is a function of (rng, episode_seeds[i]) only, so any single
+    episode can be reproduced in isolation (parity: rm_env_utils.py:107).
     Reuse the same ``env`` instance across calls — it is a static jit arg.
     """
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
+    if episode_seeds is None:
+        episode_seeds = jnp.arange(n_episodes, dtype=jnp.int32)
+    else:
+        episode_seeds = jnp.asarray(episode_seeds, jnp.int32)
+        assert episode_seeds.shape == (n_episodes,)
 
     out = _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
                    episode_len, n_decisions,
                    tuple(policy_obs_keys) if policy_obs_keys else None,
-                   add_optimal, video_envs, video_key, agent, rng)
+                   add_optimal, video_envs, video_key, agent, rng,
+                   episode_seeds)
     out = jax.device_get(out)
     metrics = {
         "success": float(out["success"].mean()),
@@ -108,11 +129,25 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
 def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
              episode_len, n_decisions, policy_obs_keys, add_optimal,
-             video_envs, video_key, agent, rng):
+             video_envs, video_key, agent, rng, episode_seeds):
     reset_rng, policy_rng = jax.random.split(rng)
-    reset_rngs = jax.random.split(reset_rng, n_episodes)
-    states, obs = jax.vmap(env.reset)(reset_rngs)
-    window = _init_window(obs, obs_horizon)
+    reset_rngs = jax.vmap(lambda s: jax.random.fold_in(reset_rng, s))(
+        episode_seeds)
+    states, _ = jax.vmap(env.reset)(reset_rngs)
+    # state history: last obs_horizon states, leaves (obs_horizon, N, ...)
+    history = jax.tree_util.tree_map(
+        lambda x: jnp.repeat(x[None], obs_horizon, axis=0), states)
+
+    def make_window(history):
+        """Materialize the obs window {k: (N, obs_horizon, ...)} on demand.
+
+        Renders/derives obs only here — once per decision, not per env step
+        (the reference's per-step obs deque costs action_horizon renders per
+        decision; those are pure functions of the state history, so deferring
+        them is exact).
+        """
+        obs_h = jax.vmap(jax.vmap(env.obs))(history)     # {k: (H, N, ...)}
+        return {k: jnp.swapaxes(v, 0, 1) for k, v in obs_h.items()}
 
     def policy_view(window):
         view = ({k: window[k] for k in policy_obs_keys if k in window}
@@ -123,32 +158,38 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
         return view
 
     init = dict(
-        states=states, window=window,
+        states=states, history=history,
         done=jnp.zeros((n_episodes,), bool),
         success=jnp.zeros((n_episodes,), bool),
         reward=jnp.zeros((n_episodes,)),
         steps=jnp.zeros((n_episodes,), jnp.int32))
 
     def decision(carry, d_rng):
-        actions = policy(agent, policy_view(carry["window"]), d_rng)
+        actions = policy(agent, policy_view(make_window(carry["history"])),
+                         d_rng)
         actions = actions[:, :action_horizon]
 
         def act(carry, a_t):
-            new_states, new_obs, r, s = jax.vmap(env.step)(carry["states"], a_t)
+            new_states, _, r, s = jax.vmap(env.step)(carry["states"], a_t)
             done = carry["done"]
             keep = lambda new, old: jnp.where(
                 jnp.reshape(done, (-1,) + (1,) * (new.ndim - 1)), old, new)
             states = jax.tree_util.tree_map(
                 lambda new, old: keep(new, old), new_states, carry["states"])
-            window = {k: keep(v, carry["window"][k])
-                      for k, v in _push_window(carry["window"], new_obs).items()}
+            history = jax.tree_util.tree_map(
+                lambda h, s_: jnp.concatenate([h[1:], s_[None]], axis=0),
+                carry["history"], states)
             reward = carry["reward"] + jnp.where(done, 0.0, r)
             steps = carry["steps"] + jnp.where(done, 0, 1)
             success = carry["success"] | (~done & s)
             new_done = done | s | (steps >= episode_len)
-            frame = (window[video_key][:video_envs, -1]
-                     if video_envs > 0 else jnp.zeros((0,)))
-            return dict(states=states, window=window, done=new_done,
+            if video_envs > 0:
+                vid_states = jax.tree_util.tree_map(
+                    lambda x: x[:video_envs], states)
+                frame = jax.vmap(env.render)(vid_states)
+            else:
+                frame = jnp.zeros((0,))
+            return dict(states=states, history=history, done=new_done,
                         success=success, reward=reward, steps=steps), frame
 
         carry, frames = jax.lax.scan(act, carry,
