@@ -1,20 +1,25 @@
-"""Device-resident bimanual ALOHA transfer-cube task.
+"""Device-resident bimanual ALOHA transfer-cube task — joint-space dynamics.
 
 Batched on-device counterpart of the reference's dm_control bimanual ViperX
-transfer-cube env (envs/alohasim_env.py): same episode protocol (400 steps at
-DT=0.02, randomized cube spawn via seeded reset — reference BOX_POSE +
-sample_box_pose, envs/alohasim_ee_env.py:16-25), same **staged contact
-reward** (1: right gripper touches box, 2: right holds it off the table,
-3: left gripper touches it, 4: left holds it off the table — success when the
-reward reaches ``max_reward=4``, envs/alohasim_env.py:143-167), same obs
-surface (``qpos`` 14-dim proprio + ``wrist64_image`` 64×64 camera,
-data/cfg/aloha_cube/wrist.yaml).
+transfer-cube env (envs/alohasim_env.py):
 
-The arm model is simplified to bimanual task-space point grippers (the 14-dim
-action is [left: dxyz, 3 unused, grip | right: dxyz, 3 unused, grip]) while
-the MJX-style joint-space physics core lands; the task logic, reward ladder,
-obs keys, scripted two-arm transfer expert, and episode protocol match the
-reference's semantics.
+- action (14): [left_arm_qpos_target (6, rad), left_gripper (1, normalized
+  0..1), right_arm_qpos_target (6), right_gripper (1)] — absolute joint
+  position control, the reference's convention (:19-35, before_step :56-70
+  with PUPPET_GRIPPER_POSITION_UNNORMALIZE on the gripper channel),
+- obs: ``qpos``/``qvel`` 14-dim joint-space vectors (get_qpos/get_qvel
+  :76-97), ``env_state`` = cube pose (get_env_state :139-141),
+  ``wrist64_image`` rendered from the camera on the right gripper frame
+  (vx300s_right.xml:27),
+- staged contact reward 0-4 (touch-right → lifted → touch-left → transferred,
+  :143-167), success at max_reward=4,
+- episode protocol: 400 steps at DT=0.02, cube spawn x∈[0,0.2] y∈[0.4,0.6]
+  (alohasim_ee_env.sample_box_pose :16-25), arms at START_ARM_POSE.
+
+Dynamics: per-joint position servos over the exact MJCF ViperX kinematic
+chains (envs/aloha_base.py); the cube attaches kinematically to a closing
+gripper whose grasp point is within reach (force-based contact grasping is
+the physics-core upgrade path, envs/lift_physics.py).
 """
 
 from __future__ import annotations
@@ -24,24 +29,18 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
+from ..ops import rotations as rot
+from . import aloha_base as B
+from . import aloha_constants as C
 
-TABLE_Z = 0.0
 CUBE_HALF = 0.02
-EEF_SPEED = 0.04
-GRIPPER_SPEED = 0.35
-GRASP_RADIUS = 0.03
-TOUCH_RADIUS = 0.045
-LIFT_EPS = 0.015          # cube off the table when above half-size + eps
-MEET = jnp.asarray([0.0, 0.45, 0.32])
-WORK_LO = jnp.asarray([-0.45, 0.1, TABLE_Z + 0.01])
-WORK_HI = jnp.asarray([0.45, 0.85, 0.55])
+LIFT_EPS = 0.015
+MEET = jnp.asarray([0.0, 0.5, 0.25])
 
 
 class AlohaCubeState(flax.struct.PyTreeNode):
-    left_pos: jnp.ndarray     # (3,)
-    left_grip: jnp.ndarray    # () in [0 closed, 1 open]
-    right_pos: jnp.ndarray
-    right_grip: jnp.ndarray
+    left: B.ArmState
+    right: B.ArmState
     cube_pos: jnp.ndarray
     held_left: jnp.ndarray    # () bool
     held_right: jnp.ndarray   # () bool
@@ -49,9 +48,9 @@ class AlohaCubeState(flax.struct.PyTreeNode):
 
 
 class AlohaTransferCubeEnv:
-    """Pure-function bimanual transfer-cube env."""
+    """Pure-function bimanual transfer-cube env (joint-space control)."""
 
-    obs_keys = ("qpos", "wrist64_image")
+    obs_keys = ("qpos", "qvel", "env_state", "wrist64_image")
     action_dim = 14
     episode_len = 400
     max_reward = 4.0
@@ -62,23 +61,16 @@ class AlohaTransferCubeEnv:
         self.render_images = render_images
         self.episode_len = episode_len
         self.renderer = renderer
-        self.camera = R.look_at(pos=(0.0, -0.35, 0.6),
-                                lookat=(0.0, 0.5, 0.05))
 
     # ------------------------------------------------------------------
     def reset(self, rng: jax.Array):
-        # cube spawn ranges parity: alohasim_ee_env.sample_box_pose
-        # x ∈ [0.0, 0.2], y ∈ [0.4, 0.6], z = 0.05 (here table frame z=half)
         x_rng, y_rng = jax.random.split(rng)
         cube = jnp.asarray([
             jax.random.uniform(x_rng, (), minval=0.0, maxval=0.2),
             jax.random.uniform(y_rng, (), minval=0.4, maxval=0.6),
-            TABLE_Z + CUBE_HALF])
+            B.TABLE_Z + CUBE_HALF])
         state = AlohaCubeState(
-            left_pos=jnp.asarray([-0.25, 0.5, 0.25]),
-            left_grip=jnp.ones(()),
-            right_pos=jnp.asarray([0.25, 0.5, 0.25]),
-            right_grip=jnp.ones(()),
+            left=B.arm_reset(), right=B.arm_reset(),
             cube_pos=cube,
             held_left=jnp.zeros((), bool),
             held_right=jnp.zeros((), bool),
@@ -87,51 +79,35 @@ class AlohaTransferCubeEnv:
 
     # ------------------------------------------------------------------
     def step(self, state: AlohaCubeState, action: jnp.ndarray):
-        action = jnp.clip(action, -1.0, 1.0)
-        l_delta, l_grip_cmd = action[0:3], action[6]
-        r_delta, r_grip_cmd = action[7:10], action[13]
+        left = B.arm_step(state.left, action[0:6], action[6])
+        right = B.arm_step(state.right, action[7:13], action[13])
 
-        left = jnp.clip(state.left_pos + l_delta * EEF_SPEED, WORK_LO, WORK_HI)
-        right = jnp.clip(state.right_pos + r_delta * EEF_SPEED, WORK_LO, WORK_HI)
-
-        # gripper command > 0 → close (normalized-gripper convention inverted
-        # into a symmetric [-1,1] policy channel)
-        l_target = jnp.where(l_grip_cmd > 0, 0.0, 1.0)
-        r_target = jnp.where(r_grip_cmd > 0, 0.0, 1.0)
-        lg = state.left_grip + jnp.clip(l_target - state.left_grip,
-                                        -GRIPPER_SPEED, GRIPPER_SPEED)
-        rg = state.right_grip + jnp.clip(r_target - state.right_grip,
-                                         -GRIPPER_SPEED, GRIPPER_SPEED)
-
-        l_near = jnp.linalg.norm(state.cube_pos - left) < GRASP_RADIUS
-        r_near = jnp.linalg.norm(state.cube_pos - right) < GRASP_RADIUS
-        l_closing = lg < 0.4
-        r_closing = rg < 0.4
-        held_left = jnp.where(state.held_left, l_closing, l_near & l_closing)
-        held_right = jnp.where(state.held_right, r_closing, r_near & r_closing)
+        held_left = B.holding(B.LEFT_CHAIN, left, state.cube_pos,
+                              state.held_left)
+        held_right = B.holding(B.RIGHT_CHAIN, right, state.cube_pos,
+                               state.held_right)
         # left takes priority on simultaneous holds (transfer handoff)
         held_right = held_right & ~held_left
 
-        free_z = jnp.maximum(state.cube_pos[2] - 0.02, TABLE_Z + CUBE_HALF)
-        cube = jnp.where(held_left, left,
-                         jnp.where(held_right, right,
+        l_tip, _ = B.eef(B.LEFT_CHAIN, left)
+        r_tip, _ = B.eef(B.RIGHT_CHAIN, right)
+        free_z = jnp.maximum(state.cube_pos[2] - 0.02, B.TABLE_Z + CUBE_HALF)
+        cube = jnp.where(held_left, l_tip,
+                         jnp.where(held_right, r_tip,
                                    state.cube_pos.at[2].set(free_z)))
 
         new_state = AlohaCubeState(
-            left_pos=left, left_grip=lg, right_pos=right, right_grip=rg,
-            cube_pos=cube, held_left=held_left, held_right=held_right,
-            t=state.t + 1)
+            left=left, right=right, cube_pos=cube,
+            held_left=held_left, held_right=held_right, t=state.t + 1)
         reward = self.reward(new_state)
         success = reward >= self.max_reward
         return new_state, self.obs(new_state), reward, success
 
     def reward(self, state: AlohaCubeState) -> jnp.ndarray:
         """Staged ladder parity: alohasim_env.py:143-167."""
-        touch_right = (jnp.linalg.norm(state.cube_pos - state.right_pos)
-                       < TOUCH_RADIUS)
-        touch_left = (jnp.linalg.norm(state.cube_pos - state.left_pos)
-                      < TOUCH_RADIUS)
-        off_table = state.cube_pos[2] > TABLE_Z + CUBE_HALF + LIFT_EPS
+        touch_right = B.touching(B.RIGHT_CHAIN, state.right, state.cube_pos)
+        touch_left = B.touching(B.LEFT_CHAIN, state.left, state.cube_pos)
+        off_table = state.cube_pos[2] > B.TABLE_Z + CUBE_HALF + LIFT_EPS
         r = jnp.zeros(())
         r = jnp.where(touch_right, 1.0, r)
         r = jnp.where(touch_right & off_table, 2.0, r)
@@ -141,40 +117,31 @@ class AlohaTransferCubeEnv:
 
     # ------------------------------------------------------------------
     def obs(self, state: AlohaCubeState) -> dict:
-        qpos = jnp.concatenate([
-            state.left_pos, state.cube_pos - state.left_pos,
-            state.left_grip[None],
-            state.right_pos, state.cube_pos - state.right_pos,
-            state.right_grip[None]])
-        out = {"qpos": qpos}
+        out = {
+            "qpos": B.qpos_obs(state.left, state.right),
+            "qvel": B.qvel_obs(state.left, state.right),
+            "env_state": jnp.concatenate([state.cube_pos,
+                                          rot.quat_identity()]),
+        }
         if self.render_images:
             out["wrist64_image"] = self.render(state)
         return out
 
     def render(self, state: AlohaCubeState) -> jnp.ndarray:
-        def hand(pos, grip):
-            half = 0.008 + 0.006 * grip
-            return pos, jnp.asarray([half, 0.018, 0.012])
-
-        l_size = hand(state.left_pos, state.left_grip)[1]
-        r_size = hand(state.right_pos, state.right_grip)[1]
+        lp, lr, ls, lc = B.arm_scene_prims(B.LEFT_CHAIN, state.left,
+                                           (0.25, 0.25, 0.35))
+        rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
+                                           (0.2, 0.3, 0.2))
         scene = R.Scene(
-            pos=jnp.stack([state.cube_pos,
-                           state.left_pos + jnp.asarray([0, 0, 0.04]),
-                           state.left_pos,
-                           state.right_pos + jnp.asarray([0, 0, 0.04]),
-                           state.right_pos]),
-            rot=jnp.stack([jnp.eye(3)] * 5),
-            size=jnp.stack([jnp.full((3,), CUBE_HALF),
-                            jnp.asarray([0.012, 0.012, 0.03]), l_size,
-                            jnp.asarray([0.012, 0.012, 0.03]), r_size]),
-            color=jnp.asarray([[0.85, 0.1, 0.1],
-                               [0.3, 0.3, 0.8], [0.15, 0.15, 0.4],
-                               [0.3, 0.8, 0.3], [0.15, 0.4, 0.15]]),
-            kind=jnp.zeros((5,), jnp.int32),
-            plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render_scene(scene, self.camera, self.image_size,
-                              self.image_size, backend=self.renderer)
+            pos=jnp.concatenate([state.cube_pos[None], lp, rp]),
+            rot=jnp.concatenate([jnp.eye(3)[None], lr, rr]),
+            size=jnp.concatenate([jnp.full((1, 3), CUBE_HALF), ls, rs]),
+            color=jnp.concatenate([jnp.asarray([[0.85, 0.1, 0.1]]), lc, rc]),
+            kind=jnp.zeros((9,), jnp.int32),
+            plane_z=jnp.asarray(B.TABLE_Z, jnp.float32))
+        cam = B.wrist64_camera(state.right)
+        return R.render_scene(scene, cam, self.image_size, self.image_size,
+                              backend=self.renderer)
 
     def get_state(self, state: AlohaCubeState):
         return state
@@ -183,63 +150,71 @@ class AlohaTransferCubeEnv:
     def scripted_action(self, state: AlohaCubeState,
                         rng: jax.Array | None = None,
                         noise: float = 0.0) -> jnp.ndarray:
-        """Two-arm transfer expert (parity: PickAndTransferPolicy,
-        collect_aloha_scripted_demos.py:70-107): right picks the cube and
-        carries it to the meet point; left meets it, grasps, right releases."""
+        """Two-arm transfer expert in EE space solved through IK (parity:
+        PickAndTransferPolicy, collect_aloha_scripted_demos.py:70-107):
+        right picks the cube, carries it to the meet point; left meets it,
+        grasps, right releases and retreats."""
         cube = state.cube_pos
         right_has = state.held_right
         left_has = state.held_left
+        l_tip, _ = B.eef(B.LEFT_CHAIN, state.left)
+        r_tip, _ = B.eef(B.RIGHT_CHAIN, state.right)
 
         at_meet = jnp.linalg.norm(cube - MEET) < 0.02
 
-        # right arm plan
         above = cube + jnp.asarray([0.0, 0.0, 0.07])
-        r_xy_near = jnp.linalg.norm(cube[:2] - state.right_pos[:2]) < 0.01
-        r_z_near = jnp.abs(cube[2] - state.right_pos[2]) < 0.012
+        r_xy_near = jnp.linalg.norm(cube[:2] - r_tip[:2]) < 0.015
+        r_z_near = jnp.abs(cube[2] - r_tip[2]) < 0.015
         r_target = jnp.where(right_has, MEET,
                              jnp.where(r_xy_near, cube, above))
-        # once the left arm holds it, the right retreats
         r_target = jnp.where(left_has, jnp.asarray([0.3, 0.5, 0.3]), r_target)
-        r_close = jnp.where(left_has, -1.0,
-                            jnp.where(right_has | (r_xy_near & r_z_near),
-                                      1.0, -1.0))
+        r_grip = jnp.where(left_has, 1.0,
+                           jnp.where(right_has | (r_xy_near & r_z_near),
+                                     0.0, 1.0))
 
-        # left arm: wait at staging until cube reaches meet point, then grasp
         stage = jnp.asarray([-0.12, MEET[1], MEET[2]])
-        l_near = jnp.linalg.norm(cube - state.left_pos) < 0.012
+        l_near = jnp.linalg.norm(cube - l_tip) < 0.02
         l_target = jnp.where(left_has, MEET + jnp.asarray([0.0, 0.0, 0.05]),
-                             jnp.where(at_meet | right_has & at_meet, cube,
-                                       stage))
-        l_close = jnp.where(left_has | (at_meet & l_near), 1.0, -1.0)
+                             jnp.where(at_meet, cube, stage))
+        l_grip = jnp.where(left_has | (at_meet & l_near), 0.0, 1.0)
 
-        l_delta = jnp.clip((l_target - state.left_pos) / EEF_SPEED, -1, 1)
-        r_delta = jnp.clip((r_target - state.right_pos) / EEF_SPEED, -1, 1)
-        act = jnp.concatenate([l_delta, jnp.zeros(3), l_close[None],
-                               r_delta, jnp.zeros(3), r_close[None]])
+        ql = B.scripted_arm_action(B.LEFT_CHAIN, state.left, l_target)
+        qr = B.scripted_arm_action(B.RIGHT_CHAIN, state.right, r_target)
+        act = jnp.concatenate([ql, l_grip[None], qr, r_grip[None]])
         if noise > 0.0 and rng is not None:
             act = act + noise * jax.random.normal(rng, act.shape)
-        return jnp.clip(act, -1.0, 1.0)
+        return act
 
 
 ALOHA_SHAPE_META = {
     "ac_dim": 14,
     "all_shapes": {
         "qpos": [14],
+        "qvel": [14],
+        "env_state": [7],
         "wrist64_image": [64, 64, 3],
         "optimal": [1],
     },
     "use_images": True,
 }
 
+_ARM_LO = [-3.15, -1.86, -1.77, -3.15, -1.87, -3.15]
+_ARM_HI = [3.15, 1.26, 1.61, 3.15, 2.24, 3.15]
+
 ALOHA_OBS_STATS = {
     "obs": {
-        "qpos": {"min": [-0.5, 0.0, -0.1, -1.0, -1.0, -1.0, 0.0,
-                         -0.5, 0.0, -0.1, -1.0, -1.0, -1.0, 0.0],
-                 "max": [0.5, 1.0, 0.6, 1.0, 1.0, 1.0, 1.0,
-                         0.5, 1.0, 0.6, 1.0, 1.0, 1.0, 1.0]},
+        "qpos": {"min": _ARM_LO + [0.0] + _ARM_LO + [0.0],
+                 "max": _ARM_HI + [1.0] + _ARM_HI + [1.0]},
+        "qvel": {"min": [-10.0] * 14, "max": [10.0] * 14},
+        "env_state": {"min": [-0.5, 0.0, -0.1, -1, -1, -1, -1],
+                      "max": [0.5, 1.0, 0.6, 1, 1, 1, 1]},
         "wrist64_image": {"min": 0, "max": 255},
         "latent_wrist64_image": {"min": -8.0, "max": 8.0},
         "optimal": {"min": 0, "max": 1},
     },
-    "actions": {"min": [-1.0] * 14, "max": [1.0] * 14},
+    # actions are joint radians + normalized grip: per-dim bounds (parity
+    # with the reference's per-dim action normalization tables,
+    # data/cfg/aloha_cube/wrist.yaml:24-50)
+    "actions": {"min": _ARM_LO + [0.0] + _ARM_LO + [0.0],
+                "max": _ARM_HI + [1.0] + _ARM_HI + [1.0]},
 }

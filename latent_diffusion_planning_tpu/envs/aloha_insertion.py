@@ -1,4 +1,4 @@
-"""Device-resident bimanual ALOHA insertion task.
+"""Device-resident bimanual ALOHA insertion task — joint-space dynamics.
 
 Batched on-device counterpart of the reference's dm_control InsertionTask
 (envs/alohasim_env.py:170-229): right gripper holds the red peg, left gripper
@@ -10,10 +10,11 @@ Staged contact-reward ladder parity (reference :219-229):
   3 — peg and socket touching (while both off the table),
   4 — peg inserted (pin depth reached)  → success.
 
-Same simplified bimanual task-space arm model as aloha_cube.py (the 14-dim
-action interface), same qpos/wrist64 obs surface, seeded randomized spawns
-(parity: alohasim_ee_env.sample_insertion_pose ranges), and a two-arm
-scripted expert for demo generation.
+Control/obs surface is the bimanual ViperX joint-space convention of
+aloha_base.py (14-dim absolute joint-position targets + normalized grippers;
+qpos/qvel/env_state/wrist64_image observations — envs/alohasim_env.py:19-35),
+with seeded randomized spawns (alohasim_ee_env.sample_insertion_pose ranges)
+and a two-arm IK scripted expert for demo generation.
 """
 
 from __future__ import annotations
@@ -23,9 +24,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
-from .aloha_cube import (EEF_SPEED, GRIPPER_SPEED, GRASP_RADIUS, TABLE_Z,
-                         TOUCH_RADIUS, WORK_HI, WORK_LO)
+from ..ops import rotations as rot
+from . import aloha_base as B
 
+TABLE_Z = B.TABLE_Z
 PEG_HALF = jnp.asarray([0.03, 0.01, 0.01])
 SOCKET_HALF = jnp.asarray([0.03, 0.018, 0.018])
 LIFT_EPS = 0.015
@@ -36,10 +38,8 @@ INSERT_DEPTH = 0.035                        # peg tip into the socket
 
 
 class AlohaInsertionState(flax.struct.PyTreeNode):
-    left_pos: jnp.ndarray
-    left_grip: jnp.ndarray
-    right_pos: jnp.ndarray
-    right_grip: jnp.ndarray
+    left: B.ArmState
+    right: B.ArmState
     peg_pos: jnp.ndarray
     socket_pos: jnp.ndarray
     peg_held: jnp.ndarray
@@ -48,7 +48,7 @@ class AlohaInsertionState(flax.struct.PyTreeNode):
 
 
 class AlohaInsertionEnv:
-    obs_keys = ("qpos", "wrist64_image")
+    obs_keys = ("qpos", "qvel", "env_state", "wrist64_image")
     action_dim = 14
     episode_len = 400
     max_reward = 4.0
@@ -59,8 +59,6 @@ class AlohaInsertionEnv:
         self.render_images = render_images
         self.episode_len = episode_len
         self.renderer = renderer
-        self.camera = R.look_at(pos=(0.0, -0.35, 0.6),
-                                lookat=(0.0, 0.5, 0.05))
 
     # ------------------------------------------------------------------
     def reset(self, rng: jax.Array):
@@ -75,11 +73,9 @@ class AlohaInsertionEnv:
                              jax.random.uniform(jax.random.fold_in(sr, 1), (),
                                                 minval=0.4, maxval=0.6)])
         state = AlohaInsertionState(
-            left_pos=jnp.asarray([-0.25, 0.5, 0.25]),
-            left_grip=jnp.ones(()),
-            right_pos=jnp.asarray([0.25, 0.5, 0.25]),
-            right_grip=jnp.ones(()),
-            peg_pos=jnp.concatenate([peg_xy, jnp.asarray([TABLE_Z + PEG_HALF[2]])]),
+            left=B.arm_reset(), right=B.arm_reset(),
+            peg_pos=jnp.concatenate([peg_xy,
+                                     jnp.asarray([TABLE_Z + PEG_HALF[2]])]),
             socket_pos=jnp.concatenate([sock_xy,
                                         jnp.asarray([TABLE_Z + SOCKET_HALF[2]])]),
             peg_held=jnp.zeros((), bool),
@@ -89,46 +85,35 @@ class AlohaInsertionEnv:
 
     # ------------------------------------------------------------------
     def step(self, state: AlohaInsertionState, action: jnp.ndarray):
-        action = jnp.clip(action, -1.0, 1.0)
-        left = jnp.clip(state.left_pos + action[0:3] * EEF_SPEED,
-                        WORK_LO, WORK_HI)
-        right = jnp.clip(state.right_pos + action[7:10] * EEF_SPEED,
-                         WORK_LO, WORK_HI)
-        l_target = jnp.where(action[6] > 0, 0.0, 1.0)
-        r_target = jnp.where(action[13] > 0, 0.0, 1.0)
-        lg = state.left_grip + jnp.clip(l_target - state.left_grip,
-                                        -GRIPPER_SPEED, GRIPPER_SPEED)
-        rg = state.right_grip + jnp.clip(r_target - state.right_grip,
-                                         -GRIPPER_SPEED, GRIPPER_SPEED)
+        left = B.arm_step(state.left, action[0:6], action[6])
+        right = B.arm_step(state.right, action[7:13], action[13])
 
         # right arm handles the peg, left the socket (reference task roles)
-        r_near = jnp.linalg.norm(state.peg_pos - right) < GRASP_RADIUS
-        l_near = jnp.linalg.norm(state.socket_pos - left) < GRASP_RADIUS
-        peg_held = jnp.where(state.peg_held, rg < 0.4, r_near & (rg < 0.4))
-        socket_held = jnp.where(state.socket_held, lg < 0.4,
-                                l_near & (lg < 0.4))
+        peg_held = B.holding(B.RIGHT_CHAIN, right, state.peg_pos,
+                             state.peg_held)
+        socket_held = B.holding(B.LEFT_CHAIN, left, state.socket_pos,
+                                state.socket_held)
+        l_tip, _ = B.eef(B.LEFT_CHAIN, left)
+        r_tip, _ = B.eef(B.RIGHT_CHAIN, right)
 
         def fall(p, half_z):
             return p.at[2].set(jnp.maximum(p[2] - 0.02, TABLE_Z + half_z))
 
-        peg = jnp.where(peg_held, right, fall(state.peg_pos, PEG_HALF[2]))
-        socket = jnp.where(socket_held, left,
+        peg = jnp.where(peg_held, r_tip, fall(state.peg_pos, PEG_HALF[2]))
+        socket = jnp.where(socket_held, l_tip,
                            fall(state.socket_pos, SOCKET_HALF[2]))
 
         new_state = AlohaInsertionState(
-            left_pos=left, left_grip=lg, right_pos=right, right_grip=rg,
-            peg_pos=peg, socket_pos=socket, peg_held=peg_held,
-            socket_held=socket_held, t=state.t + 1)
+            left=left, right=right, peg_pos=peg, socket_pos=socket,
+            peg_held=peg_held, socket_held=socket_held, t=state.t + 1)
         reward = self.reward(new_state)
         success = reward >= self.max_reward
         return new_state, self.obs(new_state), reward, success
 
     def reward(self, state: AlohaInsertionState) -> jnp.ndarray:
         """Ladder parity: alohasim_env.py:219-229."""
-        touch_r = (jnp.linalg.norm(state.peg_pos - state.right_pos)
-                   < TOUCH_RADIUS)
-        touch_l = (jnp.linalg.norm(state.socket_pos - state.left_pos)
-                   < TOUCH_RADIUS)
+        touch_r = B.touching(B.RIGHT_CHAIN, state.right, state.peg_pos)
+        touch_l = B.touching(B.LEFT_CHAIN, state.left, state.socket_pos)
         peg_up = state.peg_pos[2] > TABLE_Z + PEG_HALF[2] + LIFT_EPS
         sock_up = state.socket_pos[2] > TABLE_Z + SOCKET_HALF[2] + LIFT_EPS
         delta = state.peg_pos - state.socket_pos
@@ -147,31 +132,34 @@ class AlohaInsertionEnv:
 
     # ------------------------------------------------------------------
     def obs(self, state: AlohaInsertionState) -> dict:
-        qpos = jnp.concatenate([
-            state.left_pos, state.socket_pos - state.left_pos,
-            state.left_grip[None],
-            state.right_pos, state.peg_pos - state.right_pos,
-            state.right_grip[None]])
-        out = {"qpos": qpos}
+        out = {
+            "qpos": B.qpos_obs(state.left, state.right),
+            "qvel": B.qvel_obs(state.left, state.right),
+            "env_state": jnp.concatenate([
+                state.peg_pos, rot.quat_identity(),
+                state.socket_pos, rot.quat_identity()]),
+        }
         if self.render_images:
             out["wrist64_image"] = self.render(state)
         return out
 
     def render(self, state: AlohaInsertionState) -> jnp.ndarray:
+        lp, lr, ls, lc = B.arm_scene_prims(B.LEFT_CHAIN, state.left,
+                                           (0.25, 0.25, 0.35))
+        rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
+                                           (0.2, 0.3, 0.2))
         scene = R.Scene(
-            pos=jnp.stack([state.peg_pos, state.socket_pos,
-                           state.left_pos, state.right_pos]),
-            rot=jnp.stack([jnp.eye(3)] * 4),
-            size=jnp.stack([PEG_HALF, SOCKET_HALF,
-                            jnp.asarray([0.012, 0.018, 0.012]),
-                            jnp.asarray([0.012, 0.018, 0.012])]),
-            color=jnp.asarray([[0.85, 0.1, 0.1],      # red peg
-                               [0.2, 0.3, 0.8],       # blue socket
-                               [0.15, 0.15, 0.4], [0.15, 0.4, 0.15]]),
-            kind=jnp.zeros((4,), jnp.int32),
+            pos=jnp.concatenate([state.peg_pos[None], state.socket_pos[None],
+                                 lp, rp]),
+            rot=jnp.concatenate([jnp.eye(3)[None], jnp.eye(3)[None], lr, rr]),
+            size=jnp.concatenate([PEG_HALF[None], SOCKET_HALF[None], ls, rs]),
+            color=jnp.concatenate([jnp.asarray([[0.85, 0.1, 0.1],
+                                                [0.2, 0.3, 0.8]]), lc, rc]),
+            kind=jnp.zeros((10,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
-        return R.render_scene(scene, self.camera, self.image_size,
-                              self.image_size, backend=self.renderer)
+        cam = B.wrist64_camera(state.right)
+        return R.render_scene(scene, cam, self.image_size, self.image_size,
+                              backend=self.renderer)
 
     def get_state(self, state):
         return state
@@ -184,14 +172,16 @@ class AlohaInsertionEnv:
         collect_aloha_scripted_demos.py:110-152): each arm grasps its object,
         lifts to the meet height, then the right arm drives the peg in."""
         peg, sock = state.peg_pos, state.socket_pos
+        l_tip, _ = B.eef(B.LEFT_CHAIN, state.left)
+        r_tip, _ = B.eef(B.RIGHT_CHAIN, state.right)
 
-        def arm_plan(eef, obj, held, meet, approach_from):
+        def arm_plan(tip, obj, held, meet):
             above = obj + jnp.asarray([0.0, 0.0, 0.07])
-            xy_near = jnp.linalg.norm(obj[:2] - eef[:2]) < 0.01
-            z_near = jnp.abs(obj[2] - eef[2]) < 0.012
+            xy_near = jnp.linalg.norm(obj[:2] - tip[:2]) < 0.015
+            z_near = jnp.abs(obj[2] - tip[2]) < 0.015
             target = jnp.where(held, meet, jnp.where(xy_near, obj, above))
-            close = jnp.where(held | (xy_near & z_near), 1.0, -1.0)
-            return target, close
+            grip = jnp.where(held | (xy_near & z_near), 0.0, 1.0)
+            return target, grip
 
         both_up = state.peg_held & state.socket_held
         sock_at_meet = jnp.linalg.norm(sock - MEET_L) < 0.02
@@ -201,15 +191,12 @@ class AlohaInsertionEnv:
         stage_r = MEET_R + jnp.asarray([0.06, 0.0, 0.0])
         r_meet = jnp.where(both_up & sock_at_meet, insert_target, stage_r)
 
-        l_target, l_close = arm_plan(state.left_pos, sock,
-                                     state.socket_held, MEET_L, -1.0)
-        r_target, r_close = arm_plan(state.right_pos, peg,
-                                     state.peg_held, r_meet, 1.0)
+        l_target, l_grip = arm_plan(l_tip, sock, state.socket_held, MEET_L)
+        r_target, r_grip = arm_plan(r_tip, peg, state.peg_held, r_meet)
 
-        l_delta = jnp.clip((l_target - state.left_pos) / EEF_SPEED, -1, 1)
-        r_delta = jnp.clip((r_target - state.right_pos) / EEF_SPEED, -1, 1)
-        act = jnp.concatenate([l_delta, jnp.zeros(3), l_close[None],
-                               r_delta, jnp.zeros(3), r_close[None]])
+        ql = B.scripted_arm_action(B.LEFT_CHAIN, state.left, l_target)
+        qr = B.scripted_arm_action(B.RIGHT_CHAIN, state.right, r_target)
+        act = jnp.concatenate([ql, l_grip[None], qr, r_grip[None]])
         if noise > 0.0 and rng is not None:
             act = act + noise * jax.random.normal(rng, act.shape)
-        return jnp.clip(act, -1.0, 1.0)
+        return act

@@ -82,36 +82,70 @@ def servo_step(qpos: jnp.ndarray, target: jnp.ndarray, max_delta: float,
     return q
 
 
-def viperx300s_chain(base_pos=(0.0, 0.0, 0.0), base_yaw: float = 0.0,
-                     mirrored: bool = False) -> JointChain:
-    """Approximate ViperX-300s 6-DoF chain (waist, shoulder, elbow,
-    forearm-roll, wrist-pitch, wrist-roll). Public 550 mm-reach dimensions;
-    exact MJCF values land with the asset importer."""
-    sign = -1.0 if mirrored else 1.0
+def dls_ik_step(chain: JointChain, qpos: jnp.ndarray,
+                target_pos: jnp.ndarray, damping: float = 0.05,
+                lo: jnp.ndarray | None = None,
+                hi: jnp.ndarray | None = None) -> jnp.ndarray:
+    """One damped-least-squares IK step toward a Cartesian eef target.
+
+    q' = q + J^T (J J^T + λ²I)⁻¹ (x* − x(q)) — the FK is differentiable so
+    the 3×J jacobian comes from jax.jacfwd; the 3×3 solve is trivial. Used by
+    the EE-space scripted experts (the reference drives a MuJoCo mocap body
+    instead, envs/alohasim_ee_env.py:90-106 — same capability, solved in
+    joint space)."""
+    import jax
+
+    def pos_of(q):
+        return eef_pose(chain, q)[0]
+
+    x = pos_of(qpos)
+    J = jax.jacfwd(pos_of)(qpos)                    # (3, J)
+    err = target_pos - x
+    A = J @ J.T + (damping ** 2) * jnp.eye(3)
+    dq = J.T @ jnp.linalg.solve(A, err)
+    q = qpos + dq
+    if lo is not None:
+        q = jnp.clip(q, lo, hi)
+    return q
+
+
+def viperx300s_chain(base_pos=(0.0, 0.0, 0.0), base_yaw: float = 0.0) -> JointChain:
+    """ViperX-300s 6-DoF chain (waist, shoulder, elbow, forearm-roll,
+    wrist-angle, wrist-rotate) with the exact MJCF link offsets/axes of the
+    reference assets (envs/assets/vx300s_left.xml:3-35):
+
+    base → shoulder_link (0,0,0.079) waist@z → upper_arm_link (0,0,0.04805)
+    shoulder@y → upper_forearm_link (0.05955,0,0.3) elbow@y →
+    lower_forearm_link (0.2,0,0) forearm_roll@x → wrist_link (0.1,0,0)
+    wrist_angle@y → gripper_link (0.069744,0,0) wrist_rotate@x; the grasp
+    point sits between the finger pads ≈ (0.112,0,0) in the gripper frame
+    (finger links at 0.0687 + pad reach).
+    """
     offsets = jnp.asarray([
-        [0.0, 0.0, 0.079],        # waist above base
-        [0.0, 0.0, 0.048],        # shoulder
-        [0.0, sign * 0.0, 0.30],  # upper arm → elbow
-        [0.06, 0.0, 0.0],         # elbow offset
-        [0.14, 0.0, 0.0],         # forearm → wrist pitch
-        [0.07, 0.0, 0.0],         # wrist → roll
+        [0.0, 0.0, 0.079],
+        [0.0, 0.0, 0.04805],
+        [0.05955, 0.0, 0.3],
+        [0.2, 0.0, 0.0],
+        [0.1, 0.0, 0.0],
+        [0.069744, 0.0, 0.0],
     ])
     axes = jnp.asarray([
-        [0.0, 0.0, 1.0],   # waist yaw
-        [0.0, 1.0, 0.0],   # shoulder pitch
-        [0.0, 1.0, 0.0],   # elbow pitch
-        [1.0, 0.0, 0.0],   # forearm roll
-        [0.0, 1.0, 0.0],   # wrist pitch
-        [1.0, 0.0, 0.0],   # wrist roll
+        [0.0, 0.0, 1.0],   # waist
+        [0.0, 1.0, 0.0],   # shoulder
+        [0.0, 1.0, 0.0],   # elbow
+        [1.0, 0.0, 0.0],   # forearm_roll
+        [0.0, 1.0, 0.0],   # wrist_angle
+        [1.0, 0.0, 0.0],   # wrist_rotate
     ])
     return JointChain(
         offsets=offsets, axes=axes,
         base_pos=jnp.asarray(base_pos, jnp.float32),
         base_quat=rot.axis_angle_to_quat(
             jnp.asarray([0.0, 0.0, base_yaw], jnp.float32)),
-        tip_offset=jnp.asarray([0.1, 0.0, 0.0]))
+        tip_offset=jnp.asarray([0.112, 0.0, 0.0]))
 
 
-# Joint limits approximating the ViperX-300s spec sheet (radians)
-VIPERX_LO = jnp.asarray([-3.14, -1.85, -1.76, -3.14, -1.86, -3.14])
-VIPERX_HI = jnp.asarray([3.14, 1.99, 1.60, 3.14, 2.23, 3.14])
+# Joint limits: MJCF position-actuator ctrlranges (see envs/aloha_constants)
+VIPERX_LO = jnp.asarray([-3.14158, -1.85005, -1.76278, -3.14158, -1.8675,
+                         -3.14158])
+VIPERX_HI = jnp.asarray([3.14158, 1.25664, 1.6057, 3.14158, 2.23402, 3.14158])

@@ -169,6 +169,52 @@ DenoiseFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 """(x_t, t:(B,) int32) -> model output (epsilon by default)."""
 
 
+# ---------------------------------------------------------------------------
+# Unified per-step coefficient tables for fused (Pallas) samplers.
+#
+# Both reverse rules reduce to the same affine update given the epsilon
+# prediction:   x0 = clip(c1 * (x_t - c2 * eps))
+#               x_{t-1} = m_x0 * x0 + m_xt * x_t + s_var * noise
+# DDPM (fixed_small) and DDIM (eta=0, s_var=0) only differ in the
+# coefficients, so a fused sampler kernel consumes one (T, 5) table
+# [c1, c2, m_x0, m_xt, s_var] regardless of sampler type.
+# ---------------------------------------------------------------------------
+
+def ddpm_coef_table(schedule: DiffusionSchedule) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(timesteps (T,), coefs (T, 5)) for the full ancestral reverse process."""
+    ts = jnp.arange(schedule.num_steps - 1, -1, -1, dtype=jnp.int32)
+    abar_t = schedule.alphas_cumprod[ts]
+    abar_prev = jnp.where(ts > 0,
+                          schedule.alphas_cumprod[jnp.maximum(ts - 1, 0)], 1.0)
+    beta_t = schedule.betas[ts]
+    alpha_t = schedule.alphas[ts]
+    c1 = 1.0 / jnp.sqrt(abar_t)
+    c2 = jnp.sqrt(1.0 - abar_t)
+    m_x0 = jnp.sqrt(abar_prev) * beta_t / (1.0 - abar_t)
+    m_xt = jnp.sqrt(alpha_t) * (1.0 - abar_prev) / (1.0 - abar_t)
+    var = jnp.clip(beta_t * (1.0 - abar_prev) / (1.0 - abar_t), 1e-20, None)
+    s_var = jnp.sqrt(var) * (ts > 0)
+    return ts, jnp.stack([c1, c2, m_x0, m_xt, s_var], axis=-1).astype(jnp.float32)
+
+
+def ddim_coef_table(schedule: DiffusionSchedule,
+                    num_inference_steps: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(timesteps, coefs) for the strided eta=0 DDIM reverse process."""
+    ts = ddim_timesteps(schedule.num_steps, num_inference_steps)
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, dtype=jnp.int32)])
+    abar_t = schedule.alphas_cumprod[ts]
+    abar_prev = jnp.where(ts_prev >= 0,
+                          schedule.alphas_cumprod[jnp.maximum(ts_prev, 0)], 1.0)
+    c1 = 1.0 / jnp.sqrt(abar_t)
+    c2 = jnp.sqrt(1.0 - abar_t)
+    sp = jnp.sqrt(abar_prev)
+    dp = jnp.sqrt(jnp.clip(1.0 - abar_prev, 0.0, None))
+    m_x0 = sp - dp * jnp.sqrt(abar_t) / c2
+    m_xt = dp / c2
+    s_var = jnp.zeros_like(c1)
+    return ts, jnp.stack([c1, c2, m_x0, m_xt, s_var], axis=-1).astype(jnp.float32)
+
+
 def sample_ddpm(schedule: DiffusionSchedule, denoise_fn: DenoiseFn,
                 rng: jax.Array, shape: tuple, dtype=jnp.float32) -> jnp.ndarray:
     """Full ancestral DDPM reverse process under lax.scan.

@@ -1,0 +1,380 @@
+"""Pallas TPU kernel: fused DDIM reverse process for ConditionalUnet1D.
+
+The latent planner's reverse diffusion (LDPAgent._plan; reference
+agent/ldp_agent.py:464-476) evaluates the 1-D conditional U-Net T times
+sequentially. As an XLA scan each evaluation is ~120 small ops on (B, 8, C)
+operands — latency-bound at ~1.5 ms/eval on a v5e chip, so a 25-step plan
+costs ~36 ms/decision and dominates fused-rollout wall time once rendering
+and the VAE encode are fixed. This kernel runs the entire reverse process in
+one ``pallas_call``: U-Net weights are VMEM-resident across all steps and the
+per-step network is pure MXU/VPU math.
+
+Layout: *strided rows*. The (B, T, C) sequence lives as a 2-D (B*T, C) array
+(row r = b*T + t, matching a row-major reshape). Coarser U-Net levels keep
+the same row count but occupy every s-th row of each block (s = 2, 4, ...),
+with off-stride rows masked out of every read. Convolutions over time become
+``pltpu.roll`` + iota masks + one matmul per tap; strided down/up-sampling
+becomes rolls with stride-aware masks; GroupNorm statistics pool over
+(batch-block × channel-group) via small iota-built 0/1 matmuls. Nothing ever
+reshapes or gathers, which is exactly what Mosaic lowers well.
+
+Flax-semantics parity (probed numerically, see tests/test_pallas_sampler.py):
+- nn.Conv k=5 SAME:      y[t] = sum_j x[t+j-2] w[j]
+- nn.Conv k=3 stride 2:  y[t'] = sum_j x[2t'+j] w[j]
+- nn.ConvTranspose k=4 stride 2: x[t] w[j] -> y[2t + 2 - j]
+- nn.GroupNorm over (time, group-channels), eps 1e-6
+- FiLM: scale, bias = split(Dense(mish(cond))); h = scale*h + bias
+- diffusion-step encoder: SinusoidalPosEmb -> Dense(4d) -> mish -> Dense(d)
+
+DDIM (eta=0) only: the per-step update is deterministic given the initial
+noise (drawn by the caller with the same key the XLA sampler uses), so fused
+and unfused samplers are directly comparable. DDPM sampling falls back to
+the XLA scan (it is the training-time eval path, not the rollout hot path).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GN_EPS = 1e-6  # flax.linen.GroupNorm default
+
+
+# ---------------------------------------------------------------------------
+# layer plan + params flattening
+# ---------------------------------------------------------------------------
+
+def _plan(down_dims: Sequence[int], input_dim: int):
+    """Static description of the U-Net in call order.
+
+    Returns a list of (kind, meta) ops consuming weights in flatten order.
+    kinds: film_block {cin, ch, s, proj}, down {ch, s_in}, up {ch, s_out},
+    final_convblock {ch}, final_conv {ch, out}.
+    """
+    L = len(down_dims)
+    ops = []
+    s = 1
+    cin = input_dim
+    for i, ch in enumerate(down_dims):
+        ops.append(("film_block", dict(cin=cin, ch=ch, s=s)))
+        ops.append(("film_block", dict(cin=ch, ch=ch, s=s)))
+        ops.append(("save_skip", dict()))
+        cin = ch
+        if i < L - 1:
+            ops.append(("down", dict(ch=ch, s_in=s)))
+            s *= 2
+    mid = down_dims[-1]
+    ops.append(("film_block", dict(cin=mid, ch=mid, s=s)))
+    ops.append(("film_block", dict(cin=mid, ch=mid, s=s)))
+    skip_ch = list(down_dims)  # parallel to save_skip order
+    for j, ch in enumerate(reversed(down_dims[:-1])):
+        skip = skip_ch.pop()   # last saved first
+        ops.append(("concat_skip", dict()))
+        ops.append(("film_block", dict(cin=cin + skip, ch=ch, s=s)))
+        ops.append(("film_block", dict(cin=ch, ch=ch, s=s)))
+        ops.append(("up", dict(ch=ch, s_out=s // 2)))
+        s //= 2
+        cin = ch
+    assert s == 1
+    ops.append(("final_convblock", dict(ch=down_dims[0])))
+    ops.append(("final_conv", dict(ch=down_dims[0], out=input_dim)))
+    return ops
+
+
+def flatten_unet1d_params(params: Any, down_dims: Sequence[int],
+                          dtype=jnp.float32) -> list[jnp.ndarray]:
+    """ConditionalUnet1D param pytree → flat weight list in kernel order.
+
+    Raises KeyError/AssertionError on unexpected structure (callers fall
+    back to the XLA sampler). Biases / norm params become (1, C) rows.
+    """
+    row = lambda v: jnp.asarray(v, dtype)[None]
+    mat = lambda v: jnp.asarray(v, dtype)
+    # conv kernels (k, Cin, Cout) flatten to (k*Cin, Cout): the kernel
+    # evaluates convs as one tap-concatenated matmul
+    cmat = lambda v: jnp.asarray(v, dtype).reshape(-1, v.shape[-1])
+    flat = [mat(params["Dense_0"]["kernel"]), row(params["Dense_0"]["bias"]),
+            mat(params["Dense_1"]["kernel"]), row(params["Dense_1"]["bias"])]
+    n_blk = n_ds = n_up = 0
+    L = len(down_dims)
+    for kind, meta in _plan(down_dims, 1):
+        if kind == "film_block":
+            blk = params[f"FiLMResBlock1D_{n_blk}"]
+            n_blk += 1
+            for cb in ("ConvBlock1D_0", "ConvBlock1D_1"):
+                flat += [cmat(blk[cb]["Conv_0"]["kernel"]),
+                         row(blk[cb]["Conv_0"]["bias"]),
+                         row(blk[cb]["GroupNorm_0"]["scale"]),
+                         row(blk[cb]["GroupNorm_0"]["bias"])]
+            flat += [mat(blk["Dense_0"]["kernel"]), row(blk["Dense_0"]["bias"])]
+            has_proj = "Conv_0" in blk
+            assert has_proj == (meta["cin"] != meta["ch"] if meta["cin"] != 1
+                                else has_proj)
+            if has_proj:
+                flat += [mat(blk["Conv_0"]["kernel"][0]),
+                         row(blk["Conv_0"]["bias"])]
+        elif kind == "down":
+            c = params[f"Conv_{n_ds}"]
+            n_ds += 1
+            flat += [cmat(c["kernel"]), row(c["bias"])]
+        elif kind == "up":
+            c = params[f"ConvTranspose_{n_up}"]
+            n_up += 1
+            flat += [cmat(c["kernel"]), row(c["bias"])]
+        elif kind == "final_convblock":
+            cb = params["ConvBlock1D_0"]
+            flat += [cmat(cb["Conv_0"]["kernel"]), row(cb["Conv_0"]["bias"]),
+                     row(cb["GroupNorm_0"]["scale"]),
+                     row(cb["GroupNorm_0"]["bias"])]
+        elif kind == "final_conv":
+            c = params[f"Conv_{n_ds}"]  # final 1x1 conv follows downsamples
+            flat += [mat(c["kernel"][0]), row(c["bias"])]
+    return flat
+
+
+def unet1d_vmem_bytes(params: Any, down_dims: Sequence[int],
+                      dtype=jnp.float32) -> int:
+    flat = flatten_unet1d_params(params, down_dims, dtype)
+    return sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in flat)
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _mish(x):
+    return x * jnp.tanh(jax.nn.softplus(x))
+
+
+def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
+            ts_ref, coef_ref, freqs_ref, *refs):
+    gcond_ref, x0_ref = refs[-3], refs[-2]
+    out_ref = refs[-1]
+    w = list(refs[:-3])
+    N = x0_ref.shape[0]
+    B = N // T
+
+    def mm(a, b):
+        return jax.lax.dot_general(
+            a.astype(dtype), b.astype(dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    def conv1d(x, kern, bias, Tl, center):
+        """Tap-concatenated SAME conv over dense rows with Tl steps/block.
+
+        One (n, k*Cin) @ (k*Cin, Cout) matmul; tap j reads x[t + j - center]
+        (center=k//2 for the k=5 blocks, 0 for the stride-2 downsample whose
+        selection happens outside).
+        """
+        n = x.shape[0]
+        cin = x.shape[-1]
+        k = kern.shape[0] // cin
+        rbl = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % Tl
+        taps = []
+        for j in range(k):
+            d = j - center
+            mask = (rbl + d >= 0) & (rbl + d < Tl)
+            shift = (-d) % n
+            xs = pltpu.roll(x, shift, 0) if d else x
+            taps.append(jnp.where(mask, xs, 0.0))
+        return mm(jnp.concatenate(taps, axis=-1), kern) + bias[:]
+
+    def group_norm(x, scale, bias, Tl):
+        """GroupNorm over (time, group-channels) per batch block (dense rows).
+
+        Stats pool through small iota-built 0/1 matmuls — fp32 throughout.
+        """
+        n, C = x.shape
+        Cg = C // n_groups
+        bt = jax.lax.broadcasted_iota(jnp.int32, (B, n), 1) // Tl
+        bi = jax.lax.broadcasted_iota(jnp.int32, (B, n), 0)
+        UT = (bt == bi).astype(jnp.float32)                    # (B, n)
+        cg = jax.lax.broadcasted_iota(jnp.int32, (C, n_groups), 0) // Cg
+        gi = jax.lax.broadcasted_iota(jnp.int32, (C, n_groups), 1)
+        V = (cg == gi).astype(jnp.float32)                     # (C, G)
+        cnt = float(Tl * Cg)
+        dot = lambda a, b: jax.lax.dot_general(
+            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        mu = dot(dot(UT, x), V) / cnt                          # (B, G)
+        e2 = dot(dot(UT, x * x), V) / cnt
+        var = e2 - mu * mu
+        mu_f = dot(dot(UT.T, mu), V.T)                         # (n, C)
+        var_f = dot(dot(UT.T, var), V.T)
+        return (x - mu_f) * jax.lax.rsqrt(var_f + GN_EPS) * scale[:] + bias[:]
+
+    def bcast_rows(fb, Tl):
+        """(B, C) per-block values -> (B*Tl, C) rows via concat+reshape."""
+        if Tl == 1:
+            return fb
+        wide = jnp.concatenate([fb] * Tl, axis=-1)
+        return wide.reshape(B * Tl, fb.shape[-1])
+
+    def eval_net(x, step):
+        it = iter(w)
+        nxt = lambda: next(it)[:]
+
+        # diffusion-step encoder (scalar t) + per-sample condition, B rows
+        t = ts_ref[step].astype(jnp.float32)
+        ang = t * freqs_ref[:]                                 # (1, d/2)
+        emb = jnp.concatenate([jnp.sin(ang), jnp.cos(ang)], axis=-1)
+        temb = _mish(mm(emb, nxt()) + nxt())
+        temb = mm(temb, nxt()) + nxt()                         # (1, d)
+        cond = jnp.concatenate(
+            [jnp.broadcast_to(temb, (B, temb.shape[-1])), gcond_ref[:]],
+            axis=-1)
+        mcond = _mish(cond)                                    # (B, Dc+d)
+
+        h = x.astype(jnp.float32)
+        skips = []
+        for kind, meta in ops:
+            if kind == "film_block":
+                Tl = T // meta["s"]
+                c1k, c1b, g1s, g1b = nxt(), nxt(), nxt(), nxt()
+                c2k, c2b, g2s, g2b = nxt(), nxt(), nxt(), nxt()
+                fw, fb = nxt(), nxt()
+                hh = conv1d(h, c1k, c1b, Tl, c1k.shape[0] // meta["cin"] // 2)
+                hh = _mish(group_norm(hh, g1s, g1b, Tl))
+                film = bcast_rows(mm(mcond, fw) + fb[:], Tl)   # (n, 2C)
+                ch = meta["ch"]
+                hh = film[:, :ch] * hh + film[:, ch:]
+                hh = conv1d(hh, c2k, c2b, Tl, c2k.shape[0] // ch // 2)
+                hh = _mish(group_norm(hh, g2s, g2b, Tl))
+                if meta["cin"] != meta["ch"]:
+                    pw, pb = nxt(), nxt()
+                    h = mm(h, pw) + pb[:]
+                h = hh + h
+            elif kind == "save_skip":
+                skips.append(h)
+            elif kind == "concat_skip":
+                h = jnp.concatenate([h, skips.pop()], axis=-1)
+            elif kind == "down":
+                # y[t'] = sum_j x[2t'+j] w[j]: full left-aligned conv at the
+                # input rows, then stride-2 row compaction — via a free
+                # (n, C) -> (n/2, 2C) reshape when C is lane-aligned, else an
+                # iota-built 0/1 selection matmul (Mosaic can't shape-cast
+                # sub-128-lane rows across sublanes).
+                kern, bias = nxt(), nxt()
+                Tl_in = T // meta["s_in"]
+                n, C = h.shape[0], kern.shape[-1]
+                y = conv1d(h, kern, bias, Tl_in, 0)
+                if C % 128 == 0:
+                    h = y.reshape(n // 2, 2 * C)[:, :C]
+                else:
+                    oi = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 0)
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (n // 2, n), 1)
+                    S = (ii == 2 * oi).astype(jnp.float32)
+                    h = mm(S, y)
+            elif kind == "up":
+                # x[t] w[j] -> y[2t+2-j]: zero-interleave rows (free reshape)
+                # then 4 shifted taps; odd-source taps read the zero rows and
+                # vanish, so only block-boundary masking is needed.
+                kern, bias = nxt(), nxt()
+                s_out = meta["s_out"]
+                T_out = T // s_out
+                n, C = h.shape
+                if C % 128 == 0:
+                    z = jnp.concatenate([h, jnp.zeros_like(h)], axis=-1)
+                    z = z.reshape(2 * n, C)                    # even rows = x
+                else:
+                    oi = jax.lax.broadcasted_iota(jnp.int32, (2 * n, n), 0)
+                    ii = jax.lax.broadcasted_iota(jnp.int32, (2 * n, n), 1)
+                    E = (oi == 2 * ii).astype(jnp.float32)
+                    z = mm(E, h)
+                rbl = jax.lax.broadcasted_iota(jnp.int32, (2 * n, 1), 0) % T_out
+                k = kern.shape[0] // C
+                taps = []
+                for j in range(k):
+                    d = 2 - j
+                    mask = (rbl - d >= 0) & (rbl - d < T_out)
+                    shift = d % (2 * n)
+                    xs = pltpu.roll(z, shift, 0) if d else z
+                    taps.append(jnp.where(mask, xs, 0.0))
+                h = mm(jnp.concatenate(taps, axis=-1), kern) + bias[:]
+            elif kind == "final_convblock":
+                kern, bias, gs, gb = nxt(), nxt(), nxt(), nxt()
+                cin = h.shape[-1]
+                h = conv1d(h, kern, bias, T, kern.shape[0] // cin // 2)
+                h = _mish(group_norm(h, gs, gb, T))
+            elif kind == "final_conv":
+                ow, ob = nxt(), nxt()
+                h = jax.lax.dot_general(
+                    h, ow.astype(jnp.float32), (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32) + ob[:]
+        return h                                              # (N, D) epsilon
+
+    def body(step, x):
+        eps = eval_net(x, step)
+        x0 = jnp.clip(coef_ref[step, 0] * (x - coef_ref[step, 1] * eps),
+                      -clip_range, clip_range)
+        return coef_ref[step, 2] * x0 + coef_ref[step, 3] * x
+
+    out_ref[:] = jax.lax.fori_loop(0, n_steps, body, x0_ref[:])
+
+
+# ---------------------------------------------------------------------------
+# wrapper
+# ---------------------------------------------------------------------------
+
+def fused_unet1d_ddim_sample(params: Any, global_cond: jnp.ndarray,
+                             x_init: jnp.ndarray, timesteps: jnp.ndarray,
+                             coefs: jnp.ndarray, *,
+                             down_dims: Sequence[int],
+                             diffusion_step_embed_dim: int = 256,
+                             kernel_size: int = 5, n_groups: int = 8,
+                             clip_range: float = 1.0,
+                             dtype: Any = jnp.float32,
+                             batch_tile: int = 64,
+                             vmem_limit_mb: int = 100,
+                             interpret: bool = False) -> jnp.ndarray:
+    """Fused DDIM reverse process over a ConditionalUnet1D epsilon-model.
+
+    global_cond: (B, Dc); x_init: (B, T, D) initial gaussian; timesteps (S,);
+    coefs (S, 5) from ops.diffusion.ddim_coef_table (s_var column ignored —
+    eta=0). Returns (B, T, D) float32.
+    """
+    B, T, D = x_init.shape
+    S = int(timesteps.shape[0])
+    flat = flatten_unet1d_params(params, down_dims, dtype)
+    ops = _plan(down_dims, D)
+    tile = min(batch_tile, B)
+    assert B % tile == 0, f"batch {B} not divisible by tile {tile}"
+    N = tile * T
+
+    d = diffusion_step_embed_dim
+    half = d // 2
+    freqs = jnp.exp(-math.log(10000.0)
+                    * jnp.arange(half, dtype=jnp.float32) / (half - 1))[None]
+    x_rows = x_init.reshape(B * T, D).astype(jnp.float32)
+
+    kernel = functools.partial(_kernel, ops, T, S, n_groups, kernel_size,
+                               clip_range, jnp.dtype(dtype))
+    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+    out = pl.pallas_call(
+        kernel,
+        grid=(B // tile,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # timesteps
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # coefs
+            pl.BlockSpec(memory_space=pltpu.VMEM),             # freqs
+            *w_specs,
+            pl.BlockSpec((tile, global_cond.shape[-1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # cond (B rows)
+            pl.BlockSpec((N, D), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # x rows
+        ],
+        out_specs=pl.BlockSpec((N, D), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B * T, D), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+        interpret=interpret,
+    )(jnp.asarray(timesteps, jnp.int32), jnp.asarray(coefs, jnp.float32),
+      freqs, *flat, global_cond.astype(jnp.float32), x_rows)
+    return out.reshape(B, T, D)

@@ -10,7 +10,12 @@ import os
 import sys
 from pathlib import Path
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# HARD-set (not setdefault): the TPU-tunnel kernel env exports
+# JAX_PLATFORMS=axon, so a setdefault silently leaves the suite running on
+# the single tunneled TPU chip — slow (every dispatch pays a ~30 ms relay
+# round trip), contended with any concurrent TPU job, and with 1 device
+# instead of the virtual 8 the sharding tests need.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -26,7 +31,10 @@ import jax  # noqa: E402
 # platform and overrides jax_platforms, ignoring the env var — which also
 # makes concurrent test/train processes serialize on the single TPU. Re-apply
 # the env selection through the config API (this wins over the sitecustomize).
-jax.config.update("jax_platforms", os.environ.get("JAX_PLATFORMS", "cpu"))
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", (
+    "unit tests must run on the virtual CPU mesh, not the tunneled TPU; "
+    f"got {jax.default_backend()!r}")
 
 import pytest  # noqa: E402
 

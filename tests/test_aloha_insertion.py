@@ -1,12 +1,13 @@
-"""Bimanual insertion task tests."""
+"""Bimanual insertion task tests (joint-space dynamics)."""
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
+from latent_diffusion_planning_tpu.envs import aloha_base as B
 from latent_diffusion_planning_tpu.envs.aloha_insertion import (
-    AlohaInsertionEnv, MEET_L, PEG_HALF, SOCKET_HALF, INSERT_DEPTH)
+    INSERT_DEPTH, MEET_L, PEG_HALF, SOCKET_HALF, AlohaInsertionEnv)
 from latent_diffusion_planning_tpu.rollout import engine
 
 
@@ -20,24 +21,29 @@ def test_reset_spawn_sides(env):
     assert float(state.peg_pos[0]) > 0.05      # peg right
     assert float(state.socket_pos[0]) < -0.05  # socket left
     assert obs["qpos"].shape == (14,)
+    assert obs["env_state"].shape == (14,)     # two object poses
 
 
 def test_reward_ladder(env):
     state, _ = env.reset(jax.random.PRNGKey(0))
     assert float(env.reward(state)) == 0.0
-    s1 = state.replace(left_pos=state.socket_pos, right_pos=state.peg_pos)
-    assert float(env.reward(s1)) == 1.0
-    up = jnp.asarray([0.0, 0.0, 0.2])
-    s2 = s1.replace(peg_pos=s1.peg_pos + up, socket_pos=s1.socket_pos + up,
-                    right_pos=s1.right_pos + up, left_pos=s1.left_pos + up)
+    # objects moved onto the fingertips (tips start ~0.3 m up): both
+    # touching + lifted = 2
+    l_tip, _ = B.eef(B.LEFT_CHAIN, state.left)
+    r_tip, _ = B.eef(B.RIGHT_CHAIN, state.right)
+    s2 = state.replace(peg_pos=r_tip, socket_pos=l_tip)
     assert float(env.reward(s2)) == 2.0
-    # inserted: peg overlapping socket along x, aligned in y/z
-    sock = MEET_L
+    # inserted: peg overlapping socket along x, aligned in y/z = 4
+    sock = l_tip
     peg = sock + jnp.asarray(
         [float(PEG_HALF[0] + SOCKET_HALF[0]) - INSERT_DEPTH - 0.003, 0, 0])
-    s4 = s2.replace(socket_pos=sock, peg_pos=peg, left_pos=sock,
-                    right_pos=peg)
+    s4 = s2.replace(socket_pos=sock, peg_pos=peg)
     assert float(env.reward(s4)) == 4.0
+    # the on-table touching stage (1) appears during the scripted episode
+    out = engine.run_scripted_collection(env, 2, jax.random.PRNGKey(3),
+                                         episode_len=160)
+    seen = set(np.unique(np.asarray(out["rewards"])).tolist())
+    assert 4.0 in seen and 1.0 in seen
 
 
 def test_scripted_insertion_expert(env):
@@ -45,3 +51,4 @@ def test_scripted_insertion_expert(env):
                                          episode_len=160)
     success = np.asarray(out["success"]).any(axis=1)
     assert success.mean() >= 0.9, f"insertion expert {success.mean():.0%}"
+    assert out["actions"].shape == (8, 160, 14)
