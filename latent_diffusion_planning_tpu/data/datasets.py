@@ -42,7 +42,7 @@ class OfflineData:
                  batch_size: int = 256, obs_horizon: int = 1,
                  seq_length: int = 16,
                  train_n_episode_overfit: int | None = None,
-                 eval_n_episode_overfit: int | None = 10,
+                 eval_n_episode_overfit: int | None = None,
                  train_latent_path: str | None = None,
                  eval_latent_path: str | None = None,
                  format: str = "robomimic",
@@ -134,7 +134,7 @@ class MixedOfflineData:
                  batch_size: int = 256, obs_horizon: int = 1,
                  seq_length: int = 16,
                  train_n_episode_overfit: Sequence[int | None] | None = None,
-                 eval_n_episode_overfit: int | None = 10,
+                 eval_n_episode_overfit: int | None = None,
                  train_latent_paths: Sequence[str] | None = None,
                  eval_latent_paths: str | None = None,
                  format: str = "robomimic", seed: int = 0,

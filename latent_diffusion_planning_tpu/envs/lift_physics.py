@@ -1,15 +1,23 @@
-"""Lift task on the rigid-body physics core: force-based grasping.
+"""Lift task on the rigid-body physics core: Panda arm + force grasping.
 
 Same task protocol/obs surface as envs/lift.py (robosuite Lift parity:
 seeded cube spawn, OSC-style delta-eef + gripper action, 4 cm lift success,
-robot0_* + object + agentview_image obs) but the cube is a free rigid body
-and the gripper two kinematic sphere finger pads — grasping emerges from
-penalty contacts + Coulomb friction (envs/physics/engine.py), not a
-kinematic attach. This is the contact-fidelity step toward transferring
-reference-trained policies (SURVEY.md §7 hard part 1).
+robot0_* + object + agentview_image obs) with two fidelity upgrades over the
+kinematic stand-in:
 
-Control runs at 20 Hz with ``n_substeps`` physics substeps of ``dt`` per
-control step (MuJoCo-style control/physics split).
+- the cube is a free rigid body and the gripper two kinematic sphere finger
+  pads — grasping emerges from penalty contacts + Coulomb friction
+  (envs/physics/engine.py), not a kinematic attach,
+- a 7-DoF Panda arm (envs/robosuite_arm.py) carries the gripper: OSC-style
+  eef deltas resolve through IK + rate-limited joint servos over the
+  URDF-exact chain, so robot0_eef_pos/quat come from forward kinematics and
+  robot0_joint_pos is true joint state (parity: robosuite's OSC_POSE Panda,
+  envs/robosuite_env.py:142-170).
+
+This is the contact-fidelity step toward transferring reference-trained
+policies (SURVEY.md §7 hard part 1). Control runs at 20 Hz with
+``n_substeps`` physics substeps of ``dt`` per control step (MuJoCo-style
+control/physics split).
 """
 
 from __future__ import annotations
@@ -19,9 +27,14 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
+from ..ops import rotations as rot
 from . import physics as ph
+from . import robosuite_arm as ra
 from .lift import (CUBE_HALF, EEF_SPEED, GRIPPER_SPEED, LIFT_SUCCESS, TABLE_Z,
                    WORK_HI, WORK_LO)
+from .physics import kinematics as K
+
+PANDA_CHAIN = ra.panda_chain(base_pos=(-0.56, 0.0, TABLE_Z))
 
 CUBE_MASS = 0.05
 PAD_RADIUS = 0.008
@@ -31,7 +44,8 @@ FINGER_MIN_HALFGAP = CUBE_HALF + PAD_RADIUS - 0.0018  # slight squeeze closed
 
 class LiftPhysState(flax.struct.PyTreeNode):
     bodies: ph.RigidBody       # [cube, left pad, right pad]
-    eef_pos: jnp.ndarray       # commanded gripper center
+    qpos: jnp.ndarray          # (7,) Panda joint angles
+    eef_target: jnp.ndarray    # integrated OSC Cartesian target
     gripper: jnp.ndarray       # () in [0 closed, 1 open]
     cube_yaw0: jnp.ndarray     # render-only initial yaw
     t: jnp.ndarray
@@ -86,8 +100,12 @@ class LiftPhysicsEnv:
         yaw = jax.random.uniform(yaw_rng, (), minval=-jnp.pi / 6,
                                  maxval=jnp.pi / 6)
         eef = jnp.asarray([0.0, 0.0, TABLE_Z + 0.25])
+        qpos = ra.PANDA_HOME
+        for _ in range(8):  # settle the home pose onto the start target
+            qpos = ra.arm_track(PANDA_CHAIN, qpos, eef)
+        eef_fk, _ = K.eef_pose(PANDA_CHAIN, qpos)
         grip = jnp.ones(())
-        left, right = self._pad_positions(eef, grip)
+        left, right = self._pad_positions(eef_fk, grip)
         cube_pos = jnp.concatenate([cube_xy, jnp.asarray([TABLE_Z + CUBE_HALF])])
         bodies = ph.RigidBody.create(
             pos=jnp.stack([cube_pos, left, right]),
@@ -95,15 +113,18 @@ class LiftPhysicsEnv:
                 jnp.concatenate([jnp.cos(yaw / 2)[None], jnp.zeros(2),
                                  jnp.sin(yaw / 2)[None]]),
                 jnp.asarray([1.0, 0, 0, 0]), jnp.asarray([1.0, 0, 0, 0])]))
-        state = LiftPhysState(bodies=bodies, eef_pos=eef, gripper=grip,
-                              cube_yaw0=yaw, t=jnp.zeros((), jnp.int32))
+        state = LiftPhysState(bodies=bodies, qpos=qpos, eef_target=eef,
+                              gripper=grip, cube_yaw0=yaw,
+                              t=jnp.zeros((), jnp.int32))
         return state, self.obs(state)
 
     # ------------------------------------------------------------------
     def step(self, state: LiftPhysState, action: jnp.ndarray):
         action = jnp.clip(action, -1.0, 1.0)
-        eef = jnp.clip(state.eef_pos + action[:3] * EEF_SPEED,
-                       WORK_LO, WORK_HI)
+        eef_target = jnp.clip(state.eef_target + action[:3] * EEF_SPEED,
+                              WORK_LO, WORK_HI)
+        qpos = ra.arm_track(PANDA_CHAIN, state.qpos, eef_target)
+        eef, _ = K.eef_pose(PANDA_CHAIN, qpos)
         target = jnp.where(action[6] > 0, 0.0, 1.0)
         grip = state.gripper + jnp.clip(target - state.gripper,
                                         -GRIPPER_SPEED, GRIPPER_SPEED)
@@ -119,7 +140,8 @@ class LiftPhysicsEnv:
         bodies = ph.multi_step(self.world, bodies, self.params,
                                self.n_substeps)
 
-        new_state = LiftPhysState(bodies=bodies, eef_pos=eef, gripper=grip,
+        new_state = LiftPhysState(bodies=bodies, qpos=qpos,
+                                  eef_target=eef_target, gripper=grip,
                                   cube_yaw0=state.cube_yaw0, t=state.t + 1)
         cube = bodies.pos[0]
         success = cube[2] > TABLE_Z + CUBE_HALF + LIFT_SUCCESS
@@ -138,13 +160,15 @@ class LiftPhysicsEnv:
         yaw = 2.0 * jnp.arctan2(quat[3], quat[0])
         gripper_q = jnp.asarray([0.020 + 0.024 * state.gripper,
                                  -0.020 - 0.024 * state.gripper])
+        eef, eef_quat = K.eef_pose(PANDA_CHAIN, state.qpos)
         obs = {
-            "robot0_eef_pos": state.eef_pos,
-            "robot0_eef_quat": jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            "robot0_eef_pos": eef,
+            "robot0_eef_quat": eef_quat,
+            "robot0_joint_pos": state.qpos,
             "robot0_gripper_qpos": gripper_q,
             "object": jnp.concatenate([
                 cube, jnp.asarray([jnp.cos(yaw), jnp.sin(yaw)]),
-                cube - state.eef_pos]),
+                cube - eef]),
         }
         if self.render_images:
             obs["agentview_image"] = self.render(state)
@@ -152,23 +176,32 @@ class LiftPhysicsEnv:
 
     def render(self, state: LiftPhysState) -> jnp.ndarray:
         from ..ops.rotations import quat_to_matrix
+        from .aloha_base import _link_frame
 
         bodies = state.bodies
+        ps, _ = K.fk(PANDA_CHAIN, state.qpos)
+        # arm links: shoulder->elbow->wrist->eef as grey boxes
+        segs = [(ps[1], ps[3], 0.045), (ps[3], ps[5], 0.035),
+                (ps[5], ps[7], 0.03)]
+        link_pos, link_rot, link_size = [], [], []
+        for p0, p1, w in segs:
+            c, m, h = _link_frame(p0, p1, w)
+            link_pos.append(c), link_rot.append(m), link_size.append(h)
         scene = R.Scene(
-            pos=jnp.stack([bodies.pos[0],
-                           state.eef_pos + jnp.asarray([0.0, 0.0, 0.05]),
-                           bodies.pos[1], bodies.pos[2]]),
+            pos=jnp.stack([bodies.pos[0], bodies.pos[1], bodies.pos[2],
+                           *link_pos]),
             rot=jnp.stack([quat_to_matrix(bodies.quat[0]),
-                           jnp.eye(3), jnp.eye(3), jnp.eye(3)]),
+                           jnp.eye(3), jnp.eye(3), *link_rot]),
             size=jnp.stack([jnp.full((3,), CUBE_HALF),
-                            jnp.asarray([0.015, 0.015, 0.035]),
                             jnp.full((3,), PAD_RADIUS),
-                            jnp.full((3,), PAD_RADIUS)]),
+                            jnp.full((3,), PAD_RADIUS), *link_size]),
             color=jnp.asarray([[0.85, 0.1, 0.1],
-                               [0.65, 0.65, 0.7],
                                [0.2, 0.2, 0.25],
-                               [0.2, 0.2, 0.25]]),
-            kind=jnp.asarray([0, 0, 1, 1], jnp.int32),
+                               [0.2, 0.2, 0.25],
+                               [0.65, 0.65, 0.7],
+                               [0.6, 0.6, 0.68],
+                               [0.55, 0.55, 0.65]]),
+            kind=jnp.asarray([0, 1, 1, 0, 0, 0], jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
         return R.render_scene(scene, self.camera, self.image_size,
                               self.image_size, backend=self.renderer)
@@ -183,7 +216,7 @@ class LiftPhysicsEnv:
         """Waypoint expert over the physical gripper: align → descend →
         squeeze → lift (no kinematic attach to cheat with)."""
         cube = state.bodies.pos[0]
-        eef = state.eef_pos
+        eef, _ = K.eef_pose(PANDA_CHAIN, state.qpos)
         closed = state.gripper < 0.25
         near = jnp.linalg.norm(cube - eef) < 0.02
         holding = closed & near

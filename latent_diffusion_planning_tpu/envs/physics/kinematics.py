@@ -27,14 +27,18 @@ from ...ops import rotations as rot
 
 
 class JointChain(NamedTuple):
-    """Revolute serial chain: joint i rotates about ``axes[i]`` (unit, in the
-    parent frame after applying ``offsets[i]``)."""
+    """Revolute serial chain: link i applies translation ``offsets[i]`` and
+    optional fixed rotation ``link_quats[i]`` (both in the parent frame),
+    then joint i rotates about ``axes[i]``. link_quats=None reproduces plain
+    MJCF nested bodies (no static rotations); URDF-style chains (e.g. Panda,
+    rpy per link) need them."""
 
     offsets: jnp.ndarray      # (J, 3) parent→joint translation
     axes: jnp.ndarray         # (J, 3) unit rotation axes
     base_pos: jnp.ndarray     # (3,)
     base_quat: jnp.ndarray    # (4,) wxyz
     tip_offset: jnp.ndarray   # (3,) last-frame → end-effector
+    link_quats: jnp.ndarray | None = None  # (J, 4) fixed per-link rotations
 
 
 def fk(chain: JointChain, qpos: jnp.ndarray):
@@ -50,6 +54,8 @@ def fk(chain: JointChain, qpos: jnp.ndarray):
     quats = []
     for j in range(J):  # static small J — unrolled
         pos = pos + rot.quat_rotate(quat, chain.offsets[j])
+        if chain.link_quats is not None:
+            quat = rot.quat_mul(quat, chain.link_quats[j])
         # quat_from_unit_axis keeps gradients finite at qpos = 0 (the
         # axis-angle norm is non-differentiable there)
         q_j = rot.quat_from_unit_axis(chain.axes[j], qpos[j])

@@ -152,7 +152,9 @@ class DPVAEAgent(flax.struct.PyTreeNode):
     # ------------------------------------------------------------------
     def get_params(self):
         return dict(planner_params=self.planner_state.params,
-                    planner_ema_params=self.planner_state.ema_params)
+                    planner_ema_params=self.planner_state.ema_params,
+                    # frozen VAE rides along: snapshots are self-contained
+                    vae_params=self.vae_params)
 
     # ------------------------------------------------------------------
     @classmethod

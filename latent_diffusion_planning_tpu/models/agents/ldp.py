@@ -441,6 +441,11 @@ class LDPAgent(flax.struct.PyTreeNode):
             params["planner_params"] = self.planner_state.params
         if self.config.use_idm:
             params["idm_params"] = self.idm_state.params
+        # the (frozen) VAE rides along so snapshots are self-contained —
+        # restoring into a fresh agent must not depend on the original
+        # vae_pretrain_path still existing (the reference re-reads the VAE
+        # run directory instead, agent/ldp_agent.py:543-554)
+        params["vae_params"] = self.vae_params
         return params
 
     # ------------------------------------------------------------------

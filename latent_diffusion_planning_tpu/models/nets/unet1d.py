@@ -71,8 +71,9 @@ class FiLMResBlock1D(nn.Module):
 class ConditionalUnet1D(nn.Module):
     """Denoise a (B, T, input_dim) sequence given timestep + global condition.
 
-    ``global_cond_dim`` is informational (the cond vector's width is taken from
-    the input); kept for config parity with the reference.
+    ``global_cond_dim`` < 0 disables checking; otherwise the passed condition
+    width must match (config typos in cond width fail loudly instead of
+    silently training a differently-shaped film path).
     """
 
     input_dim: int
@@ -105,6 +106,10 @@ class ConditionalUnet1D(nn.Module):
         temb = mish(temb)
         temb = nn.Dense(d, kernel_init=default_init(),
                         dtype=canonical_dtype(self.compute_dtype), param_dtype=jnp.float32)(temb)
+        if global_cond is not None and self.global_cond_dim >= 0:
+            assert global_cond.shape[-1] == self.global_cond_dim, (
+                f"global_cond width {global_cond.shape[-1]} != configured "
+                f"global_cond_dim {self.global_cond_dim}")
         cond = temb if global_cond is None else jnp.concatenate(
             [temb, global_cond.astype(temb.dtype)], axis=-1)
 

@@ -121,7 +121,8 @@ class Logger:
     """
 
     def __init__(self, log_dir: str | Path, use_tb: bool = False,
-                 log_stdout: bool = False):
+                 log_stdout: bool = False, use_wandb: bool = False,
+                 wandb_kwargs: Mapping[str, Any] | None = None):
         self.log_dir = Path(log_dir)
         self.log_dir.mkdir(parents=True, exist_ok=True)
         tb_dir = self.log_dir / "tb" if use_tb else None
@@ -131,6 +132,21 @@ class Logger:
                                  use_tb, tb_dir)
         self._stdout_file = (open(self.log_dir / "stdout.log", "a")
                              if log_stdout else None)
+        # wandb backend (parity: reference logger.py:147-148 + per-driver
+        # wandb.init, train_bc.py:246-252). Gated on availability — the
+        # package is not in this image, so the run degrades to CSV/TB with a
+        # note instead of failing.
+        self._wandb = None
+        if use_wandb:
+            try:
+                import wandb
+                self._wandb = wandb
+                if wandb.run is None:
+                    wandb.init(dir=str(self.log_dir),
+                               **dict(wandb_kwargs or {}))
+            except Exception as e:  # noqa: BLE001 — offline image
+                print(f"[logger] wandb unavailable ({e!r}); CSV/TB only")
+                self._wandb = None
 
     def _group(self, key: str) -> MetersGroup:
         return self._train if key.startswith("train") else self._eval
@@ -155,9 +171,17 @@ class Logger:
                 self._train.log("ram_gb", ram_gb)
             except Exception:
                 pass
-            self._train.dump(step, "train")
+            data = self._train.dump(step, "train")
+            self._wandb_log(data, "train", step)
         if prefix in (None, "eval"):
-            self._eval.dump(step, "eval")
+            data = self._eval.dump(step, "eval")
+            self._wandb_log(data, "eval", step)
+
+    def _wandb_log(self, data: Mapping[str, Any], prefix: str,
+                   step: int) -> None:
+        if self._wandb is not None and data:
+            self._wandb.log({f"{prefix}/{k}": v for k, v in data.items()
+                             if k != "step"}, step=step)
 
     def note(self, text: str) -> None:
         stamp = datetime.datetime.now().strftime("%H:%M:%S")
