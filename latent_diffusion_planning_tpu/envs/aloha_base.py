@@ -126,6 +126,37 @@ def wrist64_camera(right: ArmState) -> R.Camera:
     return R.Camera(cam_pos, cam_pos + fwd, up, 78.0)
 
 
+# The reference scene's static cameras (envs/assets/scene.xml:28-31 +
+# the top/angle overheads its tasks render, alohasim_env.py:102-114).
+# Each entry: (pos, lookat, fovy, (height, width)).
+TABLE_CENTER = (0.0, 0.6, 0.0)
+STATIC_CAMERAS = {
+    "top": ((0.0, 0.6, 0.8), TABLE_CENTER, 78.0, (480, 640)),
+    "angle": ((0.0, 0.0, 0.6), TABLE_CENTER, 78.0, (480, 640)),
+    "front_close": ((0.0, 0.2, 0.4), (0.0, 0.5, 0.1), 78.0, (480, 640)),
+    "left_pillar": ((-0.5, 0.2, 0.6), TABLE_CENTER, 78.0, (64, 64)),
+    "right_pillar": ((0.5, 0.2, 0.6), TABLE_CENTER, 78.0, (64, 64)),
+}
+
+
+def camera_views(camera_names, right: ArmState, image_size: int):
+    """name → (Camera, (H, W)) for the requested observation cameras.
+
+    ``wrist64`` rides the right gripper FK frame at ``image_size``; the
+    static names come from STATIC_CAMERAS at their reference resolutions.
+    """
+    views = {}
+    for name in camera_names:
+        if name == "wrist64":
+            views[name] = (wrist64_camera(right), (image_size, image_size))
+        else:
+            pos, lookat, fovy, hw = STATIC_CAMERAS[name]
+            views[name] = (R.Camera(jnp.asarray(pos, jnp.float32),
+                                    jnp.asarray(lookat, jnp.float32),
+                                    jnp.asarray([0.0, 0.0, 1.0]), fovy), hw)
+    return views
+
+
 def _link_frame(p0: jnp.ndarray, p1: jnp.ndarray, width: float):
     """Box spanning p0→p1: (center, rot(3,3) with x along the segment,
     half-size)."""

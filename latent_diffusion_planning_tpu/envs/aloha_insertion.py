@@ -54,11 +54,16 @@ class AlohaInsertionEnv:
     max_reward = 4.0
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
-                 episode_len: int = 400, renderer: str = "xla"):
+                 episode_len: int = 400, renderer: str = "xla",
+                 camera_names: tuple = ("wrist64",)):
+        """``camera_names`` selects the observed cameras (reference surface:
+        wrist64 + top/angle/front_close/left_pillar, alohasim_env.py:102-114
+        — static ones render at their reference resolutions)."""
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
         self.renderer = renderer
+        self.camera_names = tuple(camera_names)
 
     # ------------------------------------------------------------------
     def reset(self, rng: jax.Array):
@@ -140,15 +145,20 @@ class AlohaInsertionEnv:
                 state.socket_pos, rot.quat_identity()]),
         }
         if self.render_images:
-            out["wrist64_image"] = self.render(state)
+            scene = self.scene(state)
+            views = B.camera_views(self.camera_names, state.right,
+                                   self.image_size)
+            for name, (cam, (h, w)) in views.items():
+                out[f"{name}_image"] = R.render_scene(
+                    scene, cam, h, w, backend=self.renderer)
         return out
 
-    def render(self, state: AlohaInsertionState) -> jnp.ndarray:
+    def scene(self, state: AlohaInsertionState) -> R.Scene:
         lp, lr, ls, lc = B.arm_scene_prims(B.LEFT_CHAIN, state.left,
                                            (0.25, 0.25, 0.35))
         rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
                                            (0.2, 0.3, 0.2))
-        scene = R.Scene(
+        return R.Scene(
             pos=jnp.concatenate([state.peg_pos[None], state.socket_pos[None],
                                  lp, rp]),
             rot=jnp.concatenate([jnp.eye(3)[None], jnp.eye(3)[None], lr, rr]),
@@ -157,9 +167,11 @@ class AlohaInsertionEnv:
                                                 [0.2, 0.3, 0.8]]), lc, rc]),
             kind=jnp.zeros((10,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
+
+    def render(self, state: AlohaInsertionState) -> jnp.ndarray:
         cam = B.wrist64_camera(state.right)
-        return R.render_scene(scene, cam, self.image_size, self.image_size,
-                              backend=self.renderer)
+        return R.render_scene(self.scene(state), cam, self.image_size,
+                              self.image_size, backend=self.renderer)
 
     def get_state(self, state):
         return state

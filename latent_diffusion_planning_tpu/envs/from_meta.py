@@ -1,0 +1,86 @@
+"""Rebuild eval environments from recorded robomimic ``env_meta``.
+
+The reference records each dataset's environment construction arguments in
+``data.attrs['env_args']`` (data/robomimic_data.py:35) and rebuilds the exact
+scene from them at eval time (train_bc.py:170-176 merges
+``env_meta['env_kwargs']`` + ``env_name`` into env_params). This module is
+the TPU-native counterpart: given a dataset's env_meta (already parsed by
+data/ingest.py), construct the matching device-resident env.
+
+robosuite task names map onto the physics-core envs; kwargs this stack
+understands (camera size, horizon) are honored, robosuite-internal ones
+(controller configs, EGL flags) are recognized and dropped with a note —
+their capability (OSC control, offscreen rendering) is structural here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping
+
+ENV_REGISTRY = {
+    "Lift": "latent_diffusion_planning_tpu.envs.lift_physics.LiftPhysicsEnv",
+    "PickPlaceCan": "latent_diffusion_planning_tpu.envs.pick_place.CanEnv",
+    "NutAssemblySquare": "latent_diffusion_planning_tpu.envs.pick_place.SquareEnv",
+    "sim_transfer_cube": ("latent_diffusion_planning_tpu.envs.aloha_cube."
+                          "AlohaTransferCubeEnv"),
+    "sim_insertion": ("latent_diffusion_planning_tpu.envs.aloha_insertion."
+                      "AlohaInsertionEnv"),
+}
+
+# device-collected datasets record the env class name + native kwargs
+# (tools/collect_demos.py) — those construct directly, kwargs verbatim
+NATIVE_REGISTRY = {
+    "LiftEnv": "latent_diffusion_planning_tpu.envs.lift.LiftEnv",
+    "LiftPhysicsEnv": ("latent_diffusion_planning_tpu.envs.lift_physics."
+                       "LiftPhysicsEnv"),
+    "CanEnv": "latent_diffusion_planning_tpu.envs.pick_place.CanEnv",
+    "SquareEnv": "latent_diffusion_planning_tpu.envs.pick_place.SquareEnv",
+    "AlohaTransferCubeEnv": ("latent_diffusion_planning_tpu.envs.aloha_cube."
+                             "AlohaTransferCubeEnv"),
+    "AlohaInsertionEnv": ("latent_diffusion_planning_tpu.envs."
+                          "aloha_insertion.AlohaInsertionEnv"),
+}
+
+# robosuite-internal kwargs whose capability is built into the device envs
+_STRUCTURAL_KWARGS = {
+    "controller_configs", "robots", "has_renderer", "has_offscreen_renderer",
+    "render_gpu_device_id", "use_object_obs", "use_camera_obs", "camera_names",
+    "reward_shaping", "ignore_done", "control_freq", "camera_depths",
+    "render_camera", "hard_reset",
+}
+
+
+def make_env_from_meta(env_meta: Mapping[str, Any], **overrides) -> Any:
+    """env_meta {'env_name', 'env_kwargs'} → device-resident VectorEnv."""
+    from ..utils.config import instantiate
+
+    from ..utils.config import instantiate as _inst
+
+    name = env_meta.get("env_name", "")
+    if name in NATIVE_REGISTRY:
+        kwargs = dict(env_meta.get("env_kwargs", {}))
+        kwargs.update(overrides)
+        return _inst({"_target_": NATIVE_REGISTRY[name], **kwargs})
+
+    target = None
+    for key, tgt in ENV_REGISTRY.items():
+        if name == key or name.startswith(key):
+            target = tgt
+            break
+    if target is None:
+        raise KeyError(f"no device env registered for env_name {name!r} "
+                       f"(known: {sorted(ENV_REGISTRY) + sorted(NATIVE_REGISTRY)})")
+
+    kwargs: dict[str, Any] = {}
+    meta_kwargs = dict(env_meta.get("env_kwargs", {}))
+    if "camera_heights" in meta_kwargs:
+        kwargs["image_size"] = int(meta_kwargs.pop("camera_heights"))
+    if "horizon" in meta_kwargs:
+        kwargs["episode_len"] = int(meta_kwargs.pop("horizon"))
+    dropped = [k for k in meta_kwargs if k in _STRUCTURAL_KWARGS]
+    unknown = [k for k in meta_kwargs
+               if k not in _STRUCTURAL_KWARGS and k != "camera_widths"]
+    if unknown:
+        print(f"[from_meta] ignoring unrecognized env_kwargs: {unknown}")
+    kwargs.update(overrides)
+    return instantiate({"_target_": target, **kwargs})

@@ -1,0 +1,342 @@
+"""MJCF scene importer: XML + STL assets → chains, geoms, actuators, cameras.
+
+The reference's L0 is MuJoCo consuming MJCF scene files
+(envs/assets/bimanual_viperx_transfer_cube.xml + includes; SURVEY.md §2.5).
+This module parses that dialect directly — no MuJoCo — into the framework's
+native structures:
+
+- ``parse_mjcf``: resolves <include> files, walks <worldbody> into a body
+  tree with joints/geoms/cameras, reads <actuator> position entries
+  (kp/ctrlrange), <keyframe> qpos, and <asset> meshes (binary STL bounding
+  boxes — adequate for ray-cast rendering and box-level collision of arm
+  links at 64×64 policy resolution),
+- ``chain_from_mjcf``: follows a named body's descendant chain of hinge
+  joints into a physics/kinematics.JointChain (body quats become the chain's
+  fixed link rotations),
+- ``static_scene_prims``: world-placed boxes for every geom on unjointed
+  bodies (tables, bins, pegs) for ops/render.Scene.
+
+The bundled ALOHA constants (envs/aloha_constants.py, kinematics
+.viperx300s_chain) were transcribed from these files and are verified
+against this importer in tests/test_mjcf.py (integration test runs when the
+reference assets are present; a synthetic MJCF fixture covers the parser in
+CI). Envs accept importer-built chains/scenes wherever they default to the
+transcribed constants.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+from xml.etree import ElementTree as ET
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# low-level helpers
+# ---------------------------------------------------------------------------
+
+def _floats(s: str | None, default=None):
+    if s is None:
+        return default
+    return np.asarray([float(v) for v in s.split()], np.float64)
+
+
+def _euler_to_quat(euler: np.ndarray) -> np.ndarray:
+    """MuJoCo default eulerseq 'xyz' (extrinsic) → wxyz quaternion."""
+    def axis_quat(axis, angle):
+        h = angle / 2.0
+        q = np.zeros(4)
+        q[0] = np.cos(h)
+        q[1 + axis] = np.sin(h)
+        return q
+
+    def mul(a, b):
+        w1, x1, y1, z1 = a
+        w2, x2, y2, z2 = b
+        return np.asarray([
+            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
+            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
+            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
+            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2])
+
+    # extrinsic xyz: q = qz * qy * qx applied right-to-left on vectors
+    q = axis_quat(0, euler[0])
+    q = mul(axis_quat(1, euler[1]), q)
+    q = mul(axis_quat(2, euler[2]), q)
+    return q
+
+
+def _elem_quat(e: ET.Element) -> np.ndarray:
+    if e.get("quat") is not None:
+        return _floats(e.get("quat"))
+    if e.get("euler") is not None:
+        return _euler_to_quat(_floats(e.get("euler")))
+    return np.asarray([1.0, 0.0, 0.0, 0.0])
+
+
+def stl_bbox(path: str | Path) -> tuple[np.ndarray, np.ndarray]:
+    """(center, half_extents) of a binary STL mesh."""
+    raw = Path(path).read_bytes()
+    n = struct.unpack_from("<I", raw, 80)[0]
+    lo = np.full(3, np.inf)
+    hi = np.full(3, -np.inf)
+    off = 84
+    for _ in range(n):
+        tri = np.frombuffer(raw, np.float32, 12, off)  # normal + 3 verts
+        verts = tri[3:].reshape(3, 3)
+        lo = np.minimum(lo, verts.min(0))
+        hi = np.maximum(hi, verts.max(0))
+        off += 50
+    return (lo + hi) / 2.0, (hi - lo) / 2.0
+
+
+# ---------------------------------------------------------------------------
+# model structures
+# ---------------------------------------------------------------------------
+
+@dataclass
+class Joint:
+    name: str
+    type: str            # hinge | slide | free
+    pos: np.ndarray
+    axis: np.ndarray
+    range: np.ndarray | None
+
+
+@dataclass
+class GeomSpec:
+    type: str            # box | sphere | mesh | ...
+    size: np.ndarray | None
+    pos: np.ndarray
+    quat: np.ndarray
+    rgba: np.ndarray
+    mesh: str | None
+    name: str | None
+
+
+@dataclass
+class CameraSpec:
+    name: str
+    pos: np.ndarray
+    fovy: float
+    mode: str | None
+    target: str | None
+    xyaxes: np.ndarray | None
+
+
+@dataclass
+class Body:
+    name: str
+    pos: np.ndarray
+    quat: np.ndarray
+    parent: str | None
+    joints: list[Joint] = field(default_factory=list)
+    geoms: list[GeomSpec] = field(default_factory=list)
+    cameras: list[CameraSpec] = field(default_factory=list)
+    children: list[str] = field(default_factory=list)
+
+
+@dataclass
+class Actuator:
+    joint: str
+    kp: float
+    ctrlrange: np.ndarray | None
+
+
+@dataclass
+class MJCFModel:
+    bodies: dict[str, Body]
+    meshes: dict[str, tuple[np.ndarray, np.ndarray]]   # name → (center, half)
+    actuators: list[Actuator]
+    keyframes: list[np.ndarray]
+    root_bodies: list[str]
+
+    def subtree(self, name: str):
+        out = [name]
+        for child in self.bodies[name].children:
+            out += self.subtree(child)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# parsing
+# ---------------------------------------------------------------------------
+
+def _resolve_includes(path: Path) -> ET.Element:
+    """Parse an MJCF file, splicing <include file=.../> in place (MuJoCo
+    semantics: the included file's root children replace the include node;
+    <mujocoinclude> wrappers unwrap)."""
+    root = ET.parse(path).getroot()
+
+    def splice(elem: ET.Element):
+        i = 0
+        while i < len(elem):
+            child = elem[i]
+            if child.tag == "include":
+                inc_path = path.parent / child.get("file")
+                inc_root = _resolve_includes(inc_path)
+                nodes = (list(inc_root) if inc_root.tag in
+                         ("mujoco", "mujocoinclude") else [inc_root])
+                elem.remove(child)
+                for j, node in enumerate(nodes):
+                    elem.insert(i + j, node)
+                i += len(nodes)
+            else:
+                splice(child)
+                i += 1
+
+    splice(root)
+    return root
+
+
+def parse_mjcf(path: str | Path, load_meshes: bool = True) -> MJCFModel:
+    path = Path(path)
+    root = _resolve_includes(path)
+
+    meshes: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    if load_meshes:
+        for mesh in root.iter("mesh"):
+            name = mesh.get("name") or Path(mesh.get("file")).stem
+            f = path.parent / mesh.get("file")
+            if f.exists():
+                center, half = stl_bbox(f)
+                scale = _floats(mesh.get("scale"), np.ones(3))
+                meshes[name] = (center * scale, half * scale)
+
+    bodies: dict[str, Body] = {}
+    roots: list[str] = []
+
+    def walk(elem: ET.Element, parent: str | None):
+        for child in elem:
+            if child.tag != "body":
+                continue
+            name = child.get("name") or f"body_{len(bodies)}"
+            body = Body(name=name, pos=_floats(child.get("pos"), np.zeros(3)),
+                        quat=_elem_quat(child), parent=parent)
+            for j in child.findall("joint"):
+                body.joints.append(Joint(
+                    name=j.get("name") or "",
+                    type=j.get("type", "hinge"),
+                    pos=_floats(j.get("pos"), np.zeros(3)),
+                    axis=_floats(j.get("axis"), np.asarray([0.0, 0.0, 1.0])),
+                    range=_floats(j.get("range"))))
+            for g in child.findall("geom"):
+                body.geoms.append(GeomSpec(
+                    type=g.get("type", "sphere"),
+                    size=_floats(g.get("size")),
+                    pos=_floats(g.get("pos"), np.zeros(3)),
+                    quat=_elem_quat(g),
+                    rgba=_floats(g.get("rgba"),
+                                 np.asarray([0.5, 0.5, 0.5, 1.0])),
+                    mesh=g.get("mesh"), name=g.get("name")))
+            for c in child.findall("camera"):
+                body.cameras.append(CameraSpec(
+                    name=c.get("name") or "", pos=_floats(c.get("pos"),
+                                                          np.zeros(3)),
+                    fovy=float(c.get("fovy", 45.0)), mode=c.get("mode"),
+                    target=c.get("target"),
+                    xyaxes=_floats(c.get("xyaxes"))))
+            bodies[name] = body
+            if parent is None:
+                roots.append(name)
+            else:
+                bodies[parent].children.append(name)
+            walk(child, name)
+
+    for wb in root.iter("worldbody"):
+        walk(wb, None)
+
+    actuators = [Actuator(joint=a.get("joint"), kp=float(a.get("kp", 1.0)),
+                          ctrlrange=_floats(a.get("ctrlrange")))
+                 for a in root.iter("position")]
+    keyframes = [_floats(k.get("qpos")) for k in root.iter("key")
+                 if k.get("qpos")]
+    return MJCFModel(bodies=bodies, meshes=meshes, actuators=actuators,
+                     keyframes=keyframes, root_bodies=roots)
+
+
+# ---------------------------------------------------------------------------
+# chains + scenes
+# ---------------------------------------------------------------------------
+
+def chain_from_mjcf(model: MJCFModel, root_body: str, tip_offset=None):
+    """Follow ``root_body``'s descendant spine of hinge joints → JointChain.
+
+    Stops at the first body with no hinge-jointed child (slide-joint fingers
+    end the arm chain). Body quats become fixed per-link rotations.
+    """
+    import jax.numpy as jnp
+
+    from .physics.kinematics import JointChain
+
+    offsets, axes, link_quats = [], [], []
+    base = model.bodies[root_body]
+    node = base
+    while True:
+        nxt = None
+        for child_name in node.children:
+            child = model.bodies[child_name]
+            if any(j.type == "hinge" for j in child.joints):
+                nxt = child
+                break
+        if nxt is None:
+            break
+        j = next(j for j in nxt.joints if j.type == "hinge")
+        offsets.append(nxt.pos)
+        link_quats.append(nxt.quat)
+        axes.append(j.axis / np.linalg.norm(j.axis))
+        node = nxt
+    tip = np.asarray(tip_offset if tip_offset is not None else [0.0, 0.0, 0.0])
+    return JointChain(
+        offsets=jnp.asarray(np.stack(offsets), jnp.float32),
+        axes=jnp.asarray(np.stack(axes), jnp.float32),
+        base_pos=jnp.asarray(base.pos, jnp.float32),
+        base_quat=jnp.asarray(base.quat, jnp.float32),
+        tip_offset=jnp.asarray(tip, jnp.float32),
+        link_quats=jnp.asarray(np.stack(link_quats), jnp.float32))
+
+
+def chain_joint_limits(model: MJCFModel, root_body: str):
+    """(lo, hi) actuator ctrlranges for the chain's joints, in chain order."""
+    ranges = {a.joint: a.ctrlrange for a in model.actuators
+              if a.ctrlrange is not None}
+    lo, hi = [], []
+    node = model.bodies[root_body]
+    while True:
+        nxt = None
+        for child_name in node.children:
+            child = model.bodies[child_name]
+            if any(j.type == "hinge" for j in child.joints):
+                nxt = child
+                break
+        if nxt is None:
+            break
+        j = next(j for j in nxt.joints if j.type == "hinge")
+        r = ranges.get(j.name, j.range)
+        lo.append(r[0] if r is not None else -np.pi)
+        hi.append(r[1] if r is not None else np.pi)
+        node = nxt
+    return np.asarray(lo, np.float32), np.asarray(hi, np.float32)
+
+
+def static_scene_prims(model: MJCFModel) -> list[dict]:
+    """World-placed box primitives for geoms on unjointed root subtrees
+    (tables, fixed fixtures) — feed ops/render.Scene."""
+    prims = []
+    for name in model.root_bodies:
+        body = model.bodies[name]
+        if body.joints:
+            continue
+        for g in body.geoms:
+            if g.type == "mesh" and g.mesh in model.meshes:
+                center, half = model.meshes[g.mesh]
+                prims.append(dict(pos=body.pos + g.pos + center, half=half,
+                                  rgba=g.rgba, name=g.name))
+            elif g.type == "box" and g.size is not None:
+                prims.append(dict(pos=body.pos + g.pos, half=g.size,
+                                  rgba=g.rgba, name=g.name))
+    return prims

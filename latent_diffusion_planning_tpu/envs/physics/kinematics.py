@@ -88,24 +88,35 @@ def servo_step(qpos: jnp.ndarray, target: jnp.ndarray, max_delta: float,
     return q
 
 
+def geometric_jacobian(chain: JointChain, qpos: jnp.ndarray) -> jnp.ndarray:
+    """Exact positional Jacobian of a revolute serial chain: column j is
+    axis_j × (p_eef − p_j) (world-frame joint axis crossed with the moment
+    arm). One FK pass, no autodiff — an order of magnitude smaller compile
+    than jacfwd through the unrolled quaternion chain."""
+    ps, qs = fk(chain, qpos)
+    eef = ps[-1]
+    cols = []
+    for j in range(chain.axes.shape[0]):
+        # the joint's own rotation leaves its axis invariant, so qs[j]
+        # (which includes it) maps the local axis to world correctly
+        axis_w = rot.quat_rotate(qs[j], chain.axes[j])
+        cols.append(jnp.cross(axis_w, eef - ps[j]))
+    return jnp.stack(cols, axis=-1)                  # (3, J)
+
+
 def dls_ik_step(chain: JointChain, qpos: jnp.ndarray,
                 target_pos: jnp.ndarray, damping: float = 0.05,
                 lo: jnp.ndarray | None = None,
                 hi: jnp.ndarray | None = None) -> jnp.ndarray:
     """One damped-least-squares IK step toward a Cartesian eef target.
 
-    q' = q + J^T (J J^T + λ²I)⁻¹ (x* − x(q)) — the FK is differentiable so
-    the 3×J jacobian comes from jax.jacfwd; the 3×3 solve is trivial. Used by
-    the EE-space scripted experts (the reference drives a MuJoCo mocap body
-    instead, envs/alohasim_ee_env.py:90-106 — same capability, solved in
-    joint space)."""
-    import jax
-
-    def pos_of(q):
-        return eef_pose(chain, q)[0]
-
-    x = pos_of(qpos)
-    J = jax.jacfwd(pos_of)(qpos)                    # (3, J)
+    q' = q + J^T (J J^T + λ²I)⁻¹ (x* − x(q)) with the exact geometric
+    Jacobian; the 3×3 solve is trivial. Used by the EE-space scripted experts
+    (the reference drives a MuJoCo mocap body instead,
+    envs/alohasim_ee_env.py:90-106 — same capability, solved in joint
+    space)."""
+    x, _ = eef_pose(chain, qpos)
+    J = geometric_jacobian(chain, qpos)             # (3, J)
     err = target_pos - x
     A = J @ J.T + (damping ** 2) * jnp.eye(3)
     dq = J.T @ jnp.linalg.solve(A, err)

@@ -10,11 +10,14 @@ NutAssemblySquare wrapped by envs/robosuite_env.py):
 - **SquareEnv**: pick the square nut and drop it over the square peg;
   success = nut centered on the peg below its top (robosuite: nut on peg).
 
-Both share the Lift env's dynamics model (OSC-style delta-eef + gripper,
-kinematic grasp attachment — the physics-core variants follow the
-lift_physics.py pattern), obs-key surface (robot0_* + object +
-agentview_image) and seeded randomized resets, and both ship a scripted
-waypoint expert for self-contained demo generation.
+Both run the Panda 7-DoF arm (envs/robosuite_arm.py): OSC-style delta-eef
+actions resolve through IK + rate-limited joint servos over the URDF-exact
+chain, robot0_eef_pos/quat come from forward kinematics and
+robot0_joint_pos is true joint state (parity: robosuite's OSC_POSE Panda).
+Object interaction is kinematic grasp attachment (the force-based contact
+variant follows the lift_physics.py pattern); obs-key surface (robot0_* +
+object + agentview_image), seeded randomized resets, and scripted waypoint
+experts for self-contained demo generation.
 """
 
 from __future__ import annotations
@@ -24,16 +27,26 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
+from . import robosuite_arm as ra
+from .aloha_base import _link_frame
 from .lift import (CUBE_HALF, EEF_SPEED, GRIPPER_SPEED, GRASP_RADIUS,
                    GRAVITY_DZ, TABLE_Z, WORK_HI, WORK_LO)
+from .physics import kinematics as K
+
+PANDA_CHAIN = ra.panda_chain(base_pos=(-0.56, 0.0, TABLE_Z))
 
 
 class PickPlaceState(flax.struct.PyTreeNode):
-    eef_pos: jnp.ndarray
+    qpos: jnp.ndarray          # (7,) Panda joints
+    eef_target: jnp.ndarray    # integrated OSC Cartesian target
     gripper: jnp.ndarray
     obj_pos: jnp.ndarray
     grasped: jnp.ndarray
     t: jnp.ndarray
+
+    @property
+    def eef_pos(self) -> jnp.ndarray:
+        return K.eef_pose(PANDA_CHAIN, self.qpos)[0]
 
 
 class _PickPlaceBase:
@@ -63,8 +76,12 @@ class _PickPlaceBase:
     def reset(self, rng: jax.Array):
         xy = jax.random.uniform(rng, (2,), minval=self.spawn_lo,
                                 maxval=self.spawn_hi)
+        eef = jnp.asarray([0.0, 0.0, TABLE_Z + 0.25])
+        qpos = ra.PANDA_HOME
+        for _ in range(8):  # settle the home pose onto the start target
+            qpos = ra.arm_track(PANDA_CHAIN, qpos, eef)
         state = PickPlaceState(
-            eef_pos=jnp.asarray([0.0, 0.0, TABLE_Z + 0.25]),
+            qpos=qpos, eef_target=eef,
             gripper=jnp.ones(()),
             obj_pos=jnp.concatenate([xy, jnp.asarray([self.rest_z()])]),
             grasped=jnp.zeros((), bool),
@@ -76,8 +93,10 @@ class _PickPlaceBase:
 
     def step(self, state: PickPlaceState, action: jnp.ndarray):
         action = jnp.clip(action, -1.0, 1.0)
-        eef = jnp.clip(state.eef_pos + action[:3] * EEF_SPEED,
-                       WORK_LO, WORK_HI)
+        eef_target = jnp.clip(state.eef_target + action[:3] * EEF_SPEED,
+                              WORK_LO, WORK_HI)
+        qpos = ra.arm_track(PANDA_CHAIN, state.qpos, eef_target)
+        eef, _ = K.eef_pose(PANDA_CHAIN, qpos)
         target = jnp.where(action[6] > 0, 0.0, 1.0)
         grip = state.gripper + jnp.clip(target - state.gripper,
                                         -GRIPPER_SPEED, GRIPPER_SPEED)
@@ -87,7 +106,8 @@ class _PickPlaceBase:
         free_z = jnp.maximum(state.obj_pos[2] - GRAVITY_DZ,
                              self.min_free_z(state.obj_pos))
         obj = jnp.where(grasped, eef, state.obj_pos.at[2].set(free_z))
-        new_state = PickPlaceState(eef_pos=eef, gripper=grip, obj_pos=obj,
+        new_state = PickPlaceState(qpos=qpos, eef_target=eef_target,
+                                   gripper=grip, obj_pos=obj,
                                    grasped=grasped, t=state.t + 1)
         success = self.check_success(new_state)
         dist = jnp.linalg.norm(obj - eef)
@@ -102,13 +122,15 @@ class _PickPlaceBase:
     def obs(self, state: PickPlaceState) -> dict:
         gripper_q = jnp.asarray([0.020 + 0.024 * state.gripper,
                                  -0.020 - 0.024 * state.gripper])
+        eef, eef_quat = K.eef_pose(PANDA_CHAIN, state.qpos)
         obs = {
-            "robot0_eef_pos": state.eef_pos,
-            "robot0_eef_quat": jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            "robot0_eef_pos": eef,
+            "robot0_eef_quat": eef_quat,
+            "robot0_joint_pos": state.qpos,
             "robot0_gripper_qpos": gripper_q,
             "object": jnp.concatenate([
                 state.obj_pos, self.goal_xy(),
-                state.obj_pos - state.eef_pos]),
+                state.obj_pos - eef]),
         }
         if self.render_images:
             obs["agentview_image"] = self.render(state)
@@ -163,6 +185,17 @@ class _PickPlaceBase:
         raise NotImplementedError
 
 
+def _arm_links(qpos: jnp.ndarray):
+    """3 grey boxes tracing the Panda for the ray-cast renderer."""
+    ps, _ = K.fk(PANDA_CHAIN, qpos)
+    segs = [(ps[1], ps[3], 0.045), (ps[3], ps[5], 0.035), (ps[5], ps[7], 0.03)]
+    pos, rots, sizes = [], [], []
+    for p0, p1, w in segs:
+        c, m, h = _link_frame(p0, p1, w)
+        pos.append(c), rots.append(m), sizes.append(h)
+    return jnp.stack(pos), jnp.stack(rots), jnp.stack(sizes)
+
+
 BIN_CENTER = jnp.asarray([0.17, 0.15, TABLE_Z])
 BIN_HALF = 0.055
 BIN_WALL_H = 0.03
@@ -189,32 +222,29 @@ class CanEnv(_PickPlaceBase):
         return in_bin_xy & settled & ~state.grasped
 
     def render(self, state: PickPlaceState) -> jnp.ndarray:
-        grip_half = 0.008 + 0.006 * state.gripper
+        lp, lr, ls = _arm_links(state.qpos)
         scene = R.Scene(
-            pos=jnp.stack([
+            pos=jnp.concatenate([jnp.stack([
                 state.obj_pos,
-                state.eef_pos + jnp.asarray([0.0, 0.0, 0.04]),
-                state.eef_pos,
                 BIN_CENTER + jnp.asarray([0.0, -BIN_HALF, BIN_WALL_H / 2]),
                 BIN_CENTER + jnp.asarray([0.0, BIN_HALF, BIN_WALL_H / 2]),
                 BIN_CENTER + jnp.asarray([-BIN_HALF, 0.0, BIN_WALL_H / 2]),
                 BIN_CENTER + jnp.asarray([BIN_HALF, 0.0, BIN_WALL_H / 2]),
-            ]),
-            rot=jnp.stack([jnp.eye(3)] * 7),
-            size=jnp.stack([
+            ]), lp]),
+            rot=jnp.concatenate([jnp.stack([jnp.eye(3)] * 5), lr]),
+            size=jnp.concatenate([jnp.stack([
                 jnp.asarray([self.obj_half, self.obj_half, self.obj_half]),
-                jnp.asarray([0.015, 0.015, 0.035]),
-                jnp.asarray([grip_half, 0.02, 0.012]),
                 jnp.asarray([BIN_HALF, 0.005, BIN_WALL_H / 2]),
                 jnp.asarray([BIN_HALF, 0.005, BIN_WALL_H / 2]),
                 jnp.asarray([0.005, BIN_HALF, BIN_WALL_H / 2]),
                 jnp.asarray([0.005, BIN_HALF, BIN_WALL_H / 2]),
-            ]),
+            ]), ls]),
             color=jnp.asarray([list(self.obj_color),
-                               [0.65, 0.65, 0.7], [0.2, 0.2, 0.25],
                                [0.55, 0.45, 0.25], [0.55, 0.45, 0.25],
-                               [0.55, 0.45, 0.25], [0.55, 0.45, 0.25]]),
-            kind=jnp.zeros((7,), jnp.int32),
+                               [0.55, 0.45, 0.25], [0.55, 0.45, 0.25],
+                               [0.65, 0.65, 0.7], [0.6, 0.6, 0.68],
+                               [0.55, 0.55, 0.65]]),
+            kind=jnp.zeros((8,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
         return R.render_scene(scene, self.camera, self.image_size,
                               self.image_size, backend=self.renderer)
@@ -253,25 +283,22 @@ class SquareEnv(_PickPlaceBase):
         return aligned & below_top & ~state.grasped
 
     def render(self, state: PickPlaceState) -> jnp.ndarray:
-        grip_half = 0.008 + 0.006 * state.gripper
+        lp, lr, ls = _arm_links(state.qpos)
         scene = R.Scene(
-            pos=jnp.stack([
+            pos=jnp.concatenate([jnp.stack([
                 state.obj_pos,
-                state.eef_pos + jnp.asarray([0.0, 0.0, 0.04]),
-                state.eef_pos,
                 PEG_POS + jnp.asarray([0.0, 0.0, PEG_HALF[2]]),
-            ]),
-            rot=jnp.stack([jnp.eye(3)] * 4),
-            size=jnp.stack([
+            ]), lp]),
+            rot=jnp.concatenate([jnp.stack([jnp.eye(3)] * 2), lr]),
+            size=jnp.concatenate([jnp.stack([
                 jnp.asarray([self.obj_half, self.obj_half, 0.01]),
-                jnp.asarray([0.015, 0.015, 0.035]),
-                jnp.asarray([grip_half, 0.02, 0.012]),
                 PEG_HALF,
-            ]),
+            ]), ls]),
             color=jnp.asarray([list(self.obj_color),
-                               [0.65, 0.65, 0.7], [0.2, 0.2, 0.25],
-                               [0.4, 0.4, 0.45]]),
-            kind=jnp.zeros((4,), jnp.int32),
+                               [0.4, 0.4, 0.45],
+                               [0.65, 0.65, 0.7], [0.6, 0.6, 0.68],
+                               [0.55, 0.55, 0.65]]),
+            kind=jnp.zeros((5,), jnp.int32),
             plane_z=jnp.asarray(TABLE_Z, jnp.float32))
         return R.render_scene(scene, self.camera, self.image_size,
                               self.image_size, backend=self.renderer)

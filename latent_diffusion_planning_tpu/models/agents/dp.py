@@ -26,6 +26,37 @@ from . import common
 nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
 
 
+
+def _fused_action_ddim(config, sched, planner_params, obs_emb, rng, shape):
+    """Fused Pallas DDIM over the action U-Net (None → caller falls back)."""
+    from .ldp import _pick_tile
+    from ...ops.pallas import diffusion_unet1d as punet
+    from ...ops import diffusion as dlib
+    import jax
+    import jax.numpy as jnp
+
+    B, T, _ = shape
+    c = config
+    ddim = bool(c.inference_steps and c.inference_steps < sched.num_steps)
+    eligible = (c.fused_planner and ddim
+                and T % (2 ** (len(c.planner_down_dims) - 1)) == 0
+                and B % _pick_tile(B, 128) == 0)
+    if not eligible:
+        return None
+    ts, coefs = dlib.ddim_coef_table(sched, c.inference_steps)
+    _, init_rng = jax.random.split(rng)
+    x0 = jax.random.normal(init_rng, shape, jnp.float32)
+    return punet.fused_unet1d_ddim_sample(
+        planner_params, obs_emb, x0, ts, coefs,
+        down_dims=c.planner_down_dims,
+        diffusion_step_embed_dim=c.planner_dsed,
+        n_groups=c.planner_n_groups,
+        clip_range=sched.clip_range if sched.clip_sample else 1e9,
+        dtype=jnp.dtype(c.fused_dtype),
+        batch_tile=_pick_tile(B, 128),
+        interpret=bool(c.fused_interpret))
+
+
 class DPAgent(flax.struct.PyTreeNode):
     planner_state: EMATrainState
     encoder_states: dict[str, EMATrainState]
@@ -145,11 +176,14 @@ class DPAgent(flax.struct.PyTreeNode):
                                                obs_emb)
 
         shape = (B, c.pred_horizon, c.action_dim)
-        if c.inference_steps and c.inference_steps < self.sched.num_steps:
-            acts = dlib.sample_ddim(self.sched, denoise, rng, shape,
-                                    c.inference_steps)
-        else:
-            acts = dlib.sample_ddpm(self.sched, denoise, rng, shape)
+        acts = _fused_action_ddim(c, self.sched, planner_params, obs_emb,
+                                  rng, shape)
+        if acts is None:
+            if c.inference_steps and c.inference_steps < self.sched.num_steps:
+                acts = dlib.sample_ddim(self.sched, denoise, rng, shape,
+                                        c.inference_steps)
+            else:
+                acts = dlib.sample_ddpm(self.sched, denoise, rng, shape)
         acts = acts[:, : c.action_horizon]
         acts = nz.unnormalize_actions(acts, self.obs_normalization)
         metrics = dict(obs_min=jnp.min(obs_emb), obs_max=jnp.max(obs_emb),
@@ -181,7 +215,8 @@ class DPAgent(flax.struct.PyTreeNode):
                planner_ema_decay: float = 0.75,
                encoder_ema_decay: float = 0.75,
                use_ema: bool = False,
-               encoder_feature_dim: int = 1024) -> "DPAgent":
+               encoder_feature_dim: int = 1024,
+               fused_sampler="auto", fused_dtype: str = "bfloat16") -> "DPAgent":
         import numpy as np
 
         lowdim_dim = sum(int(np.prod(shape_meta["all_shapes"][k]))
@@ -226,12 +261,14 @@ class DPAgent(flax.struct.PyTreeNode):
                                               "squaredcos_cap_v2",
                                               prediction_type="epsilon",
                                               clip_sample=True)
+        from .ldp import resolve_fused
         config = FrozenConfig(
             name=name, lowdim_obs=tuple(lowdim_obs), rgb_obs=tuple(rgb_obs),
             obs_horizon=obs_horizon, pred_horizon=pred_horizon,
             action_horizon=action_horizon, action_dim=action_dim,
             shared_encoder=shared_encoder, inference_steps=inference_steps,
-            use_ema=use_ema)
+            use_ema=use_ema, fused_dtype=fused_dtype,
+            **resolve_fused(fused_sampler, planner, pparams, None))
         stats = nz.stats_to_arrays(obs_normalization)
         return cls(planner_state=planner_state, encoder_states=encoder_states,
                    obs_normalization=stats, sched=sched,

@@ -28,6 +28,7 @@ from ...utils.config import instantiate
 from ...utils.frozen import FrozenConfig
 from ..vae import KLVAE
 from . import common
+from .dp import _fused_action_ddim
 
 nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
 
@@ -138,11 +139,14 @@ class DPVAEAgent(flax.struct.PyTreeNode):
                                                obs_emb)
 
         shape = (B, c.pred_horizon, c.action_dim)
-        if c.inference_steps and c.inference_steps < self.sched.num_steps:
-            acts = dlib.sample_ddim(self.sched, denoise, rng, shape,
-                                    c.inference_steps)
-        else:
-            acts = dlib.sample_ddpm(self.sched, denoise, rng, shape)
+        acts = _fused_action_ddim(c, self.sched, planner_params, obs_emb,
+                                  rng, shape)
+        if acts is None:
+            if c.inference_steps and c.inference_steps < self.sched.num_steps:
+                acts = dlib.sample_ddim(self.sched, denoise, rng, shape,
+                                        c.inference_steps)
+            else:
+                acts = dlib.sample_ddpm(self.sched, denoise, rng, shape)
         acts = acts[:, : c.action_horizon]
         acts = nz.unnormalize_actions(acts, self.obs_normalization)
         metrics = dict(obs_min=jnp.min(obs_emb), obs_max=jnp.max(obs_emb),
@@ -172,7 +176,9 @@ class DPVAEAgent(flax.struct.PyTreeNode):
                lr: float = 1e-4, end_lr: float = 1e-6,
                warmup_steps: int = 1000, decay_steps: int = 500_000,
                random_shift: int = 0, use_ema: bool = False,
-               ema_decay: float = 0.75) -> "DPVAEAgent":
+               ema_decay: float = 0.75,
+               fused_sampler="auto",
+               fused_dtype: str = "bfloat16") -> "DPVAEAgent":
         obs_dim, action_dim = common.obs_dims(shape_meta, rgb_obs, lowdim_obs,
                                               vae_feature_dim)
         vae_def = KLVAE(**(vae or {}))
@@ -196,12 +202,15 @@ class DPVAEAgent(flax.struct.PyTreeNode):
                                               "squaredcos_cap_v2",
                                               prediction_type="epsilon",
                                               clip_sample=True)
+        from .ldp import resolve_fused
         config = FrozenConfig(
             name=name, lowdim_obs=tuple(lowdim_obs), rgb_obs=tuple(rgb_obs),
             obs_horizon=obs_horizon, pred_horizon=pred_horizon,
             action_horizon=action_horizon, action_dim=action_dim,
             vae_feature_dim=vae_feature_dim, random_shift=random_shift,
-            inference_steps=inference_steps, use_ema=use_ema)
+            inference_steps=inference_steps, use_ema=use_ema,
+            fused_dtype=fused_dtype,
+            **resolve_fused(fused_sampler, planner, pparams, None))
         stats = nz.stats_to_arrays(obs_normalization)
         return cls(planner_state=planner_state, vae_params=vae_params,
                    obs_normalization=stats, sched=sched, vae_def=vae_def,

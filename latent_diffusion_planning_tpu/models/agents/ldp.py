@@ -50,7 +50,8 @@ def _pick_tile(n: int, cap: int) -> int:
     return 1
 
 
-def resolve_fused(fused_sampler, planner_cfg, pparams, iparams):
+def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
+                  idm_unet_cfg=None):
     """Decide fused-sampler usage for (planner, idm) at agent-create time.
 
     'auto' enables the Pallas kernels on TPU backends only; True forces them
@@ -64,9 +65,24 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams):
     else:
         fuse = bool(fused_sampler)
         interpret = fuse and backend != "tpu"
-    out = dict(fused_idm=False, fused_planner=False, fused_interpret=interpret,
-               planner_down_dims=(), planner_dsed=256, planner_n_groups=8)
-    if fuse and iparams is not None:
+    out = dict(fused_idm=False, fused_planner=False, fused_idm_unet=False,
+               fused_interpret=interpret,
+               planner_down_dims=(), planner_dsed=256, planner_n_groups=8,
+               idm_down_dims=(), idm_dsed=256, idm_n_groups=8)
+    if fuse and iparams is not None and idm_unet_cfg is not None:
+        # hierarchical agent: the IDM is itself a ConditionalUnet1D
+        try:
+            icfg = dict(idm_unet_cfg)
+            idd = tuple(icfg.get("down_dims", (256, 512, 1024)))
+            if icfg.get("downsample", True) is False:
+                raise ValueError("fused chunk-IDM needs downsample=True")
+            punet.flatten_unet1d_params(iparams, idd)
+            out.update(fused_idm_unet=True, idm_down_dims=idd,
+                       idm_dsed=int(icfg.get("diffusion_step_embed_dim", 256)),
+                       idm_n_groups=int(icfg.get("n_groups", 8)))
+        except Exception:  # noqa: BLE001 — non-default topology
+            pass
+    elif fuse and iparams is not None:
         try:
             pmlp.flatten_mlp_diffusion_params(iparams)
             out["fused_idm"] = True
@@ -282,8 +298,9 @@ class LDPAgent(flax.struct.PyTreeNode):
                                     c.idm_inference_steps)
         return dlib.sample_ddpm(sched, denoise, rng, shape)
 
-    def _plan(self, obs_cond_flat: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """Reverse-diffuse a latent plan (B, pred_horizon, obs_dim).
+    def _plan(self, obs_cond_flat: jnp.ndarray, rng: jax.Array,
+              length: int | None = None) -> jnp.ndarray:
+        """Reverse-diffuse a latent plan (B, length or pred_horizon, obs_dim).
 
         DDIM inference runs as one fused Pallas kernel when ``fused_planner``
         resolved true at create (ops/pallas/diffusion_unet1d.py) — same rng
@@ -295,9 +312,12 @@ class LDPAgent(flax.struct.PyTreeNode):
         ddim = bool(c.planner_inference_steps
                     and c.planner_inference_steps < sched.num_steps)
         B = obs_cond_flat.shape[0]
-        shape = (B, c.pred_horizon, c.obs_dim)
+        T = length or c.pred_horizon
+        shape = (B, T, c.obs_dim)
+        divisible = (c.fused_planner and
+                     T % (2 ** (len(c.planner_down_dims) - 1)) == 0)
 
-        if c.fused_planner and ddim and B % _pick_tile(B, 128) == 0:
+        if divisible and ddim and B % _pick_tile(B, 128) == 0:
             ts, coefs = dlib.ddim_coef_table(sched, c.planner_inference_steps)
             _, init_rng = jax.random.split(rng)
             x0 = jax.random.normal(init_rng, shape, jnp.float32)

@@ -22,9 +22,10 @@ from ...ops import normalize as nz
 from ...train.state import EMATrainState, make_optimizer
 from ...utils.config import instantiate
 from ...utils.frozen import FrozenConfig
+from ...ops.pallas import diffusion_unet1d as punet
 from ..vae import KLVAE
 from . import common
-from .ldp import LDPAgent
+from .ldp import LDPAgent, _pick_tile, resolve_fused
 
 
 class LDPHierAgent(LDPAgent):
@@ -66,18 +67,41 @@ class LDPHierAgent(LDPAgent):
     # inference (chunked IDM)
     # ------------------------------------------------------------------
     def _idm_decode_chunks(self, pairs: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
-        """(N, 2D) pairs → (N, idm_horizon, A) action chunks."""
+        """(N, 2D) pairs → (N, idm_horizon, A) action chunks.
+
+        DDIM decoding fuses into one Pallas kernel when the chunk U-Net
+        matched the default topology at create (fused_idm_unet)."""
         c = self.config
         idm_params = self.idm_state.inference_params
+        sched = self.idm_sched
+        ddim = bool(c.idm_inference_steps
+                    and c.idm_inference_steps < sched.num_steps)
+        N = pairs.shape[0]
+        shape = (N, c.idm_horizon, c.action_dim)
+        divisible = (c.fused_idm_unet and c.idm_horizon %
+                     (2 ** (len(c.idm_down_dims) - 1)) == 0)
+
+        if divisible and ddim and N % _pick_tile(N, 128) == 0:
+            ts, coefs = dlib.ddim_coef_table(sched, c.idm_inference_steps)
+            _, init_rng = jax.random.split(rng)
+            x0 = jax.random.normal(init_rng, shape, jnp.float32)
+            return punet.fused_unet1d_ddim_sample(
+                idm_params, pairs, x0, ts, coefs,
+                down_dims=c.idm_down_dims,
+                diffusion_step_embed_dim=c.idm_dsed,
+                n_groups=c.idm_n_groups,
+                clip_range=sched.clip_range if sched.clip_sample else 1e9,
+                dtype=jnp.dtype(c.fused_dtype),
+                batch_tile=_pick_tile(N, 128),
+                interpret=bool(c.fused_interpret))
 
         def denoise(a, t):
             return self.idm_state.apply_fn({"params": idm_params}, a, t, pairs)
 
-        shape = (pairs.shape[0], c.idm_horizon, c.action_dim)
-        if c.idm_inference_steps and c.idm_inference_steps < self.idm_sched.num_steps:
-            return dlib.sample_ddim(self.idm_sched, denoise, rng, shape,
+        if ddim:
+            return dlib.sample_ddim(sched, denoise, rng, shape,
                                     c.idm_inference_steps)
-        return dlib.sample_ddpm(self.idm_sched, denoise, rng, shape)
+        return dlib.sample_ddpm(sched, denoise, rng, shape)
 
     @jax.jit
     def _sample_action_step(self, batch, rng):
@@ -97,20 +121,7 @@ class LDPHierAgent(LDPAgent):
         cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
         rng, plan_rng = jax.random.split(rng)
         plan_len = c.pred_horizon // c.idm_horizon
-        planner_params = self.planner_state.inference_params
-
-        def denoise(x, t):
-            return self.planner_state.apply_fn({"params": planner_params}, x,
-                                               t, cond)
-
-        shape = (B, plan_len, c.obs_dim)
-        if (c.planner_inference_steps
-                and c.planner_inference_steps < self.planner_sched.num_steps):
-            pred_plan = dlib.sample_ddim(self.planner_sched, denoise, plan_rng,
-                                         shape, c.planner_inference_steps)
-        else:
-            pred_plan = dlib.sample_ddpm(self.planner_sched, denoise, plan_rng,
-                                         shape)
+        pred_plan = self._plan(cond, plan_rng, length=plan_len)
         plan = jnp.concatenate(
             [obs_emb[:, c.obs_horizon - 1: c.obs_horizon],
              pred_plan[:, : c.action_horizon]], axis=1)
@@ -129,20 +140,7 @@ class LDPHierAgent(LDPAgent):
 
         rng, plan_rng = jax.random.split(rng)
         plan_len = c.pred_horizon // c.idm_horizon
-        planner_params = self.planner_state.inference_params
-
-        def denoise(x, t):
-            return self.planner_state.apply_fn({"params": planner_params}, x, t,
-                                               cond)
-
-        shape = (B, plan_len, c.obs_dim)
-        if (c.planner_inference_steps
-                and c.planner_inference_steps < self.planner_sched.num_steps):
-            pred_plan = dlib.sample_ddim(self.planner_sched, denoise, plan_rng,
-                                         shape, c.planner_inference_steps)
-        else:
-            pred_plan = dlib.sample_ddpm(self.planner_sched, denoise, plan_rng,
-                                         shape)
+        pred_plan = self._plan(cond, plan_rng, length=plan_len)
 
         plan = pred_plan[:, : c.action_horizon]
         start = obs_emb[:, c.obs_horizon - 1: c.obs_horizon]
@@ -189,7 +187,9 @@ class LDPHierAgent(LDPAgent):
                update_idm_after: int = 0, update_planner_until: int = -1,
                update_planner_after: int = 0,
                grad_clip: float | None = None,
-               ema_decay: float = 0.0) -> "LDPHierAgent":
+               ema_decay: float = 0.0,
+               fused_sampler: Any = "auto",
+               fused_dtype: str = "bfloat16") -> "LDPHierAgent":
         assert action_horizon % idm_horizon == 0, (
             "action_horizon must be a multiple of idm_horizon "
             f"({action_horizon} % {idm_horizon})")
@@ -259,6 +259,13 @@ class LDPHierAgent(LDPAgent):
         idm_sched = dlib.DiffusionSchedule.create(
             idm_n_diffusion_steps, "squaredcos_cap_v2",
             prediction_type="epsilon", clip_sample=True)
+
+        config = config.replace(
+            fused_dtype=fused_dtype,
+            **resolve_fused(fused_sampler, planner,
+                            planner_state.params if use_planner else None,
+                            idm_state.params if use_idm else None,
+                            idm_unet_cfg=idm_net))
 
         return cls(planner_state=planner_state, idm_state=idm_state,
                    vae_params=vae_params, obs_normalization=stats,

@@ -133,6 +133,7 @@ class MLPDiffusion(nn.Module):
     out_dim: int
     time_dim: int = 64
     cond_hidden_dims: Sequence[int] = (128, 128)
+    cond_activation: str = "swish"   # reference recipe uses "mish"
     n_blocks: int = 3
     hidden_dim: int = 256
     use_layer_norm: bool = True
@@ -146,7 +147,7 @@ class MLPDiffusion(nn.Module):
         t = jnp.broadcast_to(jnp.asarray(t, dtype=jnp.float32).reshape(-1, 1)
                              if jnp.ndim(t) <= 1 else t, (s.shape[0], 1))
         t_ff = FourierFeatures(self.time_dim, self.learnable_time)(t)
-        cond = MLP(self.cond_hidden_dims, activation="swish",
+        cond = MLP(self.cond_hidden_dims, activation=self.cond_activation,
                    activate_final=False)(t_ff, training=training)
         x = jnp.concatenate([a, s, cond], axis=-1)
         return MLPResNet(self.n_blocks, self.out_dim, self.hidden_dim,

@@ -85,6 +85,7 @@ class Encoder(nn.Module):
     use_mid_attention: bool = True
     compute_dtype: Any = jnp.float32
     patch_size: int = 1
+    downsample_pad: str = "same"   # "diffusers" = asymmetric ((0,1),(0,1))
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -107,7 +108,11 @@ class Encoder(nn.Module):
             for _ in range(self.layers_per_block):
                 x = ResBlock2D(ch, self.norm_groups, dt)(x)
             if i < len(self.block_out_channels) - 1:
-                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1, dtype=dt,
+                # diffusers FlaxDownsample2D pads ((0,1),(0,1)) before a
+                # VALID stride-2 conv; 'same' is this framework's default.
+                pad = (((0, 1), (0, 1)) if self.downsample_pad == "diffusers"
+                       else 1)
+                x = nn.Conv(ch, (3, 3), strides=(2, 2), padding=pad, dtype=dt,
                             param_dtype=jnp.float32)(x)
         x = ResBlock2D(self.block_out_channels[-1], self.norm_groups, dt)(x)
         if self.use_mid_attention:
@@ -190,12 +195,14 @@ class KLVAE(nn.Module):
     use_mid_attention: bool = True
     compute_dtype: Any = jnp.float32
     patch_size: int = 1
+    downsample_pad: str = "same"   # "diffusers" for transferred checkpoints
 
     def setup(self) -> None:
         dt = jnp.dtype(self.compute_dtype)
         self.encoder = Encoder(self.block_out_channels, self.latent_channels,
                                self.layers_per_block, self.norm_groups,
-                               self.use_mid_attention, dt, self.patch_size)
+                               self.use_mid_attention, dt, self.patch_size,
+                               self.downsample_pad)
         self.decoder = Decoder(self.block_out_channels, self.out_channels,
                                self.layers_per_block, self.norm_groups,
                                self.use_mid_attention, dt, self.patch_size)

@@ -39,6 +39,7 @@ from typing import Any, Callable, Mapping
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax.sharding import PartitionSpec as P
 
 PolicyFn = Callable[[Any, Mapping[str, jnp.ndarray], jax.Array], jnp.ndarray]
 """(agent pytree, obs_window {k: (N, obs_horizon, ...)}, rng)
@@ -87,6 +88,7 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
                      video_envs: int = 0,
                      video_key: str = "agentview_image",
                      episode_seeds: Any = None,
+                     env_mesh: Any = None,
                      policy: PolicyFn = agent_sample_policy) -> dict:
     """Run ``n_episodes`` parallel episodes; returns host-side metrics.
 
@@ -95,7 +97,12 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     ``episode_seeds`` is an optional int array of per-episode seeds — episode
     i's reset is a function of (rng, episode_seeds[i]) only, so any single
     episode can be reproduced in isolation (parity: rm_env_utils.py:107).
-    Reuse the same ``env`` instance across calls — it is a static jit arg.
+    ``env_mesh``: a jax.sharding.Mesh — episodes shard over ALL its axes via
+    shard_map (each device runs the full fused rollout on its slice; episodes
+    are independent so there are no collectives). The replacement for the
+    reference's n_eval_processes fan-out, scaled to chips instead of CPU
+    processes. Reuse the same ``env`` instance across calls — it is a static
+    jit arg.
     """
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
@@ -105,11 +112,25 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
         episode_seeds = jnp.asarray(episode_seeds, jnp.int32)
         assert episode_seeds.shape == (n_episodes,)
 
-    out = _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
-                   episode_len, n_decisions,
-                   tuple(policy_obs_keys) if policy_obs_keys else None,
-                   add_optimal, video_envs, video_key, agent, rng,
-                   episode_seeds)
+    run = partial(_run_jit, env, policy, n_episodes, obs_horizon,
+                  action_horizon, episode_len, n_decisions,
+                  tuple(policy_obs_keys) if policy_obs_keys else None,
+                  add_optimal, video_envs, video_key)
+    if env_mesh is not None:
+        assert video_envs == 0, "video capture not supported under env_mesh"
+        n_shards = int(np.prod(list(env_mesh.shape.values())))
+        assert n_episodes % n_shards == 0, (
+            f"{n_episodes} episodes not divisible over {n_shards} devices")
+        spec = P(tuple(env_mesh.axis_names))
+        local = partial(_run_jit, env, policy, n_episodes // n_shards,
+                        obs_horizon, action_horizon, episode_len, n_decisions,
+                        tuple(policy_obs_keys) if policy_obs_keys else None,
+                        add_optimal, 0, video_key)
+        run = jax.jit(jax.shard_map(
+            local, mesh=env_mesh, in_specs=(P(), P(), spec),
+            out_specs=spec, check_vma=False))
+
+    out = run(agent, rng, episode_seeds)
     out = jax.device_get(out)
     metrics = {
         "success": float(out["success"].mean()),

@@ -184,8 +184,22 @@ class Workspace:
         return tuple(keys)
 
     def _make_env(self):
-        if self._env is None and self.data.env_params.get("env"):
-            self._env = instantiate(self.data.env_params["env"])
+        """Eval env: the dataset's recorded env_meta wins when present
+        (parity: reference train_bc.py:170-176 rebuilds the env from the
+        HDF5's env_args); the config's env_params.env is the fallback."""
+        if self._env is None:
+            env_meta = getattr(self.data, "env_meta", None)
+            if env_meta and env_meta.get("env_name"):
+                try:
+                    from ..envs.from_meta import make_env_from_meta
+                    self._env = make_env_from_meta(env_meta)
+                    self.logger.note(
+                        f"eval env from dataset env_meta: "
+                        f"{env_meta['env_name']}")
+                except KeyError:
+                    pass
+            if self._env is None and self.data.env_params.get("env"):
+                self._env = instantiate(self.data.env_params["env"])
         return self._env
 
     # ------------------------------------------------------------------

@@ -1,0 +1,211 @@
+"""Reference-checkpoint parameter transfer.
+
+Maps parameter pytrees saved by the reference implementation onto this
+framework's modules, so reference-trained policies/VAEs run here directly
+(SURVEY.md §7 hard part 5; round-1 VERDICT item 4):
+
+- ``map_unet1d_params``: reference ``networks/diffusion_nets_v2.ConditionalUnet1D``
+  (ConditionalResidualBlock1D / Conv1dBlock / Downsample1d / Upsample1d
+  auto-names) → models/nets/unet1d.ConditionalUnet1D (FiLMResBlock1D /
+  ConvBlock1D / flat Conv_i). Functional equivalence is golden-tested against
+  recorded reference activations (tests/fixtures/transfer_unet.npz).
+- ``map_mlp_diffusion_params``: reference ``networks/mlp_diffusion_nets
+  .MLPDiffusion`` → models/nets/mlp.MLPDiffusion — identical flax naming
+  (FourierFeatures_0 / MLP_0 / MLPResNet_0), passed through with structure
+  validation.
+- ``map_diffusers_vae_params``: ``diffusers.FlaxAutoencoderKL`` pytrees
+  (conv_in / down_blocks_i / mid_block / conv_norm_out / conv_out /
+  quant_conv naming, NHWC kernels) → models/vae.KLVAE. The reference loads
+  its VAE through diffusers (agent/ldp_agent.py:543-554,
+  model/stable_vae_model.yaml); this mapping lets those checkpoints encode
+  datasets here bit-identically (use KLVAE(downsample_pad="diffusers") —
+  diffusers downsamples with asymmetric (0,1) padding).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Mapping, Sequence
+
+
+def _flat(tree: Mapping, pre: str = "") -> dict:
+    out = {}
+    for k, v in tree.items():
+        key = f"{pre}/{k}" if pre else str(k)
+        if isinstance(v, Mapping):
+            out.update(_flat(v, key))
+        else:
+            out[key] = v
+    return out
+
+
+def _unflat(flat: Mapping[str, Any]) -> dict:
+    out: dict = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = out
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return out
+
+
+# ---------------------------------------------------------------------------
+# planner U-Net
+# ---------------------------------------------------------------------------
+
+def map_unet1d_params(ref_params: Mapping,
+                      down_dims: Sequence[int]) -> dict:
+    """Reference ConditionalUnet1D pytree → ours.
+
+    Renames (structure is 1:1 — both are the Diffusion Policy U-Net):
+      ConditionalResidualBlock1D_i → FiLMResBlock1D_i
+      ...Conv1dBlock_j → ConvBlock1D_j       (film Dense_0/proj Conv_0 as-is)
+      Downsample1d_k/Conv_0 → Conv_k
+      Upsample1d_k/ConvTranspose_0 → ConvTranspose_k
+      Conv1dBlock_0 (final) → ConvBlock1D_0
+      Conv_0 (final 1x1) → Conv_{L-1}; time-MLP Dense_0/Dense_1 as-is.
+    """
+    L = len(down_dims)
+    flat = _flat(ref_params)
+    out = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        head = parts[0]
+        if head.startswith("ConditionalResidualBlock1D_"):
+            idx = head.split("_")[-1]
+            rest = "/".join(parts[1:])
+            rest = rest.replace("Conv1dBlock_", "ConvBlock1D_")
+            out[f"FiLMResBlock1D_{idx}/{rest}"] = v
+        elif head.startswith("Downsample1d_"):
+            idx = head.split("_")[-1]
+            assert parts[1] == "Conv_0"
+            out[f"Conv_{idx}/{parts[2]}"] = v
+        elif head.startswith("Upsample1d_"):
+            idx = head.split("_")[-1]
+            assert parts[1] == "ConvTranspose_0"
+            out[f"ConvTranspose_{idx}/{parts[2]}"] = v
+        elif head == "Conv1dBlock_0":
+            out["ConvBlock1D_0/" + "/".join(parts[1:])] = v
+        elif head == "Conv_0":  # reference's final 1x1 conv
+            out[f"Conv_{L - 1}/" + "/".join(parts[1:])] = v
+        elif head in ("Dense_0", "Dense_1"):
+            out[key] = v
+        else:
+            raise KeyError(f"unrecognized reference U-Net param {key!r}")
+    return _unflat(out)
+
+
+# ---------------------------------------------------------------------------
+# IDM diffusion MLP
+# ---------------------------------------------------------------------------
+
+def map_mlp_diffusion_params(ref_params: Mapping) -> dict:
+    """Reference MLPDiffusion pytree → ours (identical flax auto-naming)."""
+    flat = _flat(ref_params)
+    for key in flat:
+        head = key.split("/")[0]
+        assert head in ("FourierFeatures_0", "MLP_0", "MLPResNet_0"), (
+            f"unrecognized reference IDM param {key!r}")
+    return _unflat(dict(flat))
+
+
+# ---------------------------------------------------------------------------
+# diffusers FlaxAutoencoderKL
+# ---------------------------------------------------------------------------
+
+def map_diffusers_vae_params(ref_params: Mapping,
+                             block_out_channels: Sequence[int],
+                             layers_per_block: int = 2) -> dict:
+    """diffusers FlaxAutoencoderKL pytree → models/vae.KLVAE params.
+
+    Both are NHWC flax convs so kernels transfer verbatim; only the module
+    naming differs. Use with KLVAE(downsample_pad='diffusers') — diffusers
+    downsample convs pad ((0,1),(0,1)), not SAME.
+    """
+    L = len(block_out_channels)
+    flat = _flat(ref_params)
+    out = {}
+
+    def put(dst, src):
+        for suffix in ("kernel", "bias", "scale"):
+            k = f"{src}/{suffix}"
+            if k in flat:
+                out[f"{dst}/{suffix}"] = flat[k]
+
+    def resblock(dst, src):
+        put(f"{dst}/GroupNorm_0", f"{src}/norm1")
+        put(f"{dst}/Conv_0", f"{src}/conv1")
+        put(f"{dst}/GroupNorm_1", f"{src}/norm2")
+        put(f"{dst}/Conv_1", f"{src}/conv2")
+        put(f"{dst}/shortcut", f"{src}/conv_shortcut")
+
+    def attention(dst, src):
+        put(f"{dst}/GroupNorm_0", f"{src}/group_norm")
+        put(f"{dst}/Dense_0", f"{src}/query")
+        put(f"{dst}/Dense_1", f"{src}/key")
+        put(f"{dst}/Dense_2", f"{src}/value")
+        put(f"{dst}/Dense_3", f"{src}/proj_attn")
+
+    # ---- encoder ----
+    put("encoder/Conv_0", "encoder/conv_in")
+    blk = 0
+    for i in range(L):
+        for j in range(layers_per_block):
+            resblock(f"encoder/ResBlock2D_{blk}",
+                     f"encoder/down_blocks_{i}/resnets_{j}")
+            blk += 1
+        if i < L - 1:
+            put(f"encoder/Conv_{i + 1}",
+                f"encoder/down_blocks_{i}/downsamplers_0/conv")
+    resblock(f"encoder/ResBlock2D_{blk}", "encoder/mid_block/resnets_0")
+    attention("encoder/MidAttention_0", "encoder/mid_block/attentions_0")
+    resblock(f"encoder/ResBlock2D_{blk + 1}", "encoder/mid_block/resnets_1")
+    put("encoder/GroupNorm_0", "encoder/conv_norm_out")
+    put(f"encoder/Conv_{L}", "encoder/conv_out")
+    put("encoder/quant_conv", "quant_conv")
+
+    # ---- decoder ----
+    put("decoder/post_quant_conv", "post_quant_conv")
+    put("decoder/Conv_0", "decoder/conv_in")
+    resblock("decoder/ResBlock2D_0", "decoder/mid_block/resnets_0")
+    attention("decoder/MidAttention_0", "decoder/mid_block/attentions_0")
+    resblock("decoder/ResBlock2D_1", "decoder/mid_block/resnets_1")
+    blk = 2
+    for i in range(L):
+        for j in range(layers_per_block + 1):
+            resblock(f"decoder/ResBlock2D_{blk}",
+                     f"decoder/up_blocks_{i}/resnets_{j}")
+            blk += 1
+        if i < L - 1:
+            put(f"decoder/Conv_{i + 1}",
+                f"decoder/up_blocks_{i}/upsamplers_0/conv")
+    put("decoder/GroupNorm_0", "decoder/conv_norm_out")
+    put(f"decoder/Conv_{L}", "decoder/conv_out")
+
+    unmapped = set(flat) - {f"{s}/{x}" for s in _ref_vae_sources(
+        L, layers_per_block, flat) for x in ("kernel", "bias", "scale")}
+    return _unflat(out)
+
+
+def _ref_vae_sources(L, lpb, flat):
+    """All source prefixes the mapping consumes (for coverage checks)."""
+    srcs = ["encoder/conv_in", "encoder/conv_norm_out", "encoder/conv_out",
+            "quant_conv", "post_quant_conv", "decoder/conv_in",
+            "decoder/conv_norm_out", "decoder/conv_out"]
+    for side, n in (("encoder/down_blocks", lpb), ("decoder/up_blocks", lpb + 1)):
+        for i in range(L):
+            for j in range(n):
+                base = f"{side}_{i}/resnets_{j}"
+                srcs += [f"{base}/norm1", f"{base}/conv1", f"{base}/norm2",
+                         f"{base}/conv2", f"{base}/conv_shortcut"]
+            if i < L - 1:
+                tail = ("downsamplers_0" if "down" in side else "upsamplers_0")
+                srcs.append(f"{side}_{i}/{tail}/conv")
+    for side in ("encoder", "decoder"):
+        srcs += [f"{side}/mid_block/resnets_0/{p}" for p in
+                 ("norm1", "conv1", "norm2", "conv2", "conv_shortcut")]
+        srcs += [f"{side}/mid_block/resnets_1/{p}" for p in
+                 ("norm1", "conv1", "norm2", "conv2", "conv_shortcut")]
+        srcs += [f"{side}/mid_block/attentions_0/{p}" for p in
+                 ("group_norm", "query", "key", "value", "proj_attn")]
+    return srcs
