@@ -43,6 +43,11 @@ class VectorEnv(Protocol):
         """Serializable snapshot (parity: robosuite_env.py:192-223)."""
         ...
 
+    def reset_to(self, state):
+        """state -> (state, obs): deterministic state-injection reset
+        (parity: robosuite_env.py:88-120 reset_to replay)."""
+        ...
+
 
 def spec_shapes(env: VectorEnv, rng: jax.Array | None = None) -> dict:
     """Infer per-key obs shapes by evaluating reset's shape dtype only."""

@@ -154,6 +154,14 @@ class LiftEnv:
     def get_state(self, state: LiftState):
         return state
 
+    def reset_to(self, state):
+        """Deterministic state-injection reset (parity: the reference's
+        reset_to replay, envs/robosuite_env.py:88-120) — envs are pure
+        functions of their state pytree, so injecting a recorded state IS
+        the reset; the paired obs comes from the same pure obs map."""
+        return state, self.obs(state)
+
+
     def scripted_action(self, state: LiftState, rng: jax.Array | None = None,
                         noise: float = 0.0) -> jnp.ndarray:
         """Waypoint expert: reach above cube → descend → grasp → lift.

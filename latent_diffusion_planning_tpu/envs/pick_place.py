@@ -139,6 +139,14 @@ class _PickPlaceBase:
     def get_state(self, state):
         return state
 
+    def reset_to(self, state):
+        """Deterministic state-injection reset (parity: the reference's
+        reset_to replay, envs/robosuite_env.py:88-120) — envs are pure
+        functions of their state pytree, so injecting a recorded state IS
+        the reset; the paired obs comes from the same pure obs map."""
+        return state, self.obs(state)
+
+
     # ------------------------------------------------------------------
     def scripted_action(self, state: PickPlaceState,
                         rng: jax.Array | None = None,

@@ -202,8 +202,10 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
         cnt = float(Tl * Cg)
         dot = lambda a, b: jax.lax.dot_general(
             a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        mu = dot(dot(UT, x), V) / cnt                          # (B, G)
-        e2 = dot(dot(UT, x * x), V) / cnt
+        # the expensive reductions (K = n rows) run in the kernel compute
+        # dtype with fp32 accumulation; the tiny broadcasts stay fp32
+        mu = dot(mm(UT, x), V) / cnt                           # (B, G)
+        e2 = dot(mm(UT, x * x), V) / cnt
         var = e2 - mu * mu
         mu_f = dot(dot(UT.T, mu), V.T)                         # (n, C)
         var_f = dot(dot(UT.T, var), V.T)

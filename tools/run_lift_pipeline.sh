@@ -34,7 +34,9 @@ python tools/train_bc.py agent=ldp_agent data=lift/latent_img \
   n_grad_steps=30000 warmup_steps=200 lr=3e-4 n_eval_episodes=64 \
   eval_every=10000 save_every=10000 \
   experiment_folder=$RUN experiment_name=ldp
-# export for bench.py (headline benchmark loads this trained policy)
+# export for bench.py (headline benchmark loads this trained policy);
+# rm first — cp -r into an existing directory would nest instead of replace
 mkdir -p assets/bench
+rm -rf assets/bench/agent.ckpt
 cp experiments/$RUN/ldp/config.yaml assets/bench/config.yaml
 cp -r experiments/$RUN/ldp/ckpt/30000.ckpt assets/bench/agent.ckpt
