@@ -218,8 +218,11 @@ ALOHA_SHAPE_META = {
     "use_images": True,
 }
 
-_ARM_LO = [-3.15, -1.86, -1.77, -3.15, -1.87, -3.15]
-_ARM_HI = [3.15, 1.26, 1.61, 3.15, 2.24, 3.15]
+# normalization bounds reflect task motion (padded data ranges — like the
+# reference's measured per-task tables), not the full mechanical joint range:
+# full-range normalization crushes the diffusion targets to ~10% contrast
+_ARM_LO = [-0.8, -1.86, 0.1, -0.8, -0.9, -0.8]
+_ARM_HI = [0.8, 0.7, 1.61, 0.8, 0.4, 0.8]
 
 ALOHA_OBS_STATS = {
     "obs": {

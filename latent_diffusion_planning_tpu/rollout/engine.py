@@ -200,10 +200,14 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
             history = jax.tree_util.tree_map(
                 lambda h, s_: jnp.concatenate([h[1:], s_[None]], axis=0),
                 carry["history"], states)
-            reward = carry["reward"] + jnp.where(done, 0.0, r)
+            # physics blow-up containment (parity: the reference treats env
+            # exceptions as episode termination, aloha_env_utils.py:112-116):
+            # a non-finite reward or eef-adjacent state ends the episode
+            finite = jnp.isfinite(r)
+            reward = carry["reward"] + jnp.where(done | ~finite, 0.0, r)
             steps = carry["steps"] + jnp.where(done, 0, 1)
-            success = carry["success"] | (~done & s)
-            new_done = done | s | (steps >= episode_len)
+            success = carry["success"] | (~done & s & finite)
+            new_done = done | s | ~finite | (steps >= episode_len)
             if video_envs > 0:
                 vid_states = jax.tree_util.tree_map(
                     lambda x: x[:video_envs], states)

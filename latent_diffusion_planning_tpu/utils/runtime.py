@@ -14,10 +14,13 @@ from pathlib import Path
 
 
 def setup(cache_dir: str | None = None) -> None:
-    """Opt-in only: enabling the cache unconditionally deadlocked compiles on
-    the jax 0.9 + axon-plugin build in this image (verified empirically — a
-    ConditionalUnet1D init hangs with jax_compilation_cache_dir set). Export
-    JAX_COMPILATION_CACHE_DIR explicitly to turn it on."""
+    """Opt-in only. On the jax 0.9 + axon-tunnel build in this image the
+    persistent cache is ineffective-to-harmful: round 1 saw a
+    ConditionalUnet1D init hang with jax_compilation_cache_dir set; round 2
+    saw entries written but warm runs no faster (the tunnel's remote-compile
+    service bypasses local cache reuse). Export JAX_COMPILATION_CACHE_DIR
+    explicitly to turn it on (it works as expected on directly-attached
+    TPUs)."""
     import jax
 
     # Honor JAX_PLATFORMS even when a sitecustomize (e.g. the axon TPU-tunnel

@@ -147,3 +147,45 @@ def test_video_capture(env):
                                   policy=zero_policy, video_envs=2)
     assert out["videos"].shape == (2, 8, 16, 16, 3)
     assert out["videos"].dtype == np.uint8
+
+
+def test_blowup_containment():
+    """Non-finite rewards terminate the episode (parity: the reference wraps
+    env.step and treats physics blow-ups as termination,
+    aloha_env_utils.py:112-116)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latent_diffusion_planning_tpu.rollout import engine
+
+    class BlowupEnv:
+        obs_keys = ("x",)
+        action_dim = 2
+        episode_len = 20
+        max_reward = 1.0
+
+        def reset(self, rng):
+            state = {"t": jnp.zeros((), jnp.int32)}
+            return state, self.obs(state)
+
+        def step(self, state, action):
+            t = state["t"] + 1
+            state = {"t": t}
+            r = jnp.where(t >= 5, jnp.nan, 1.0)   # blow up at step 5
+            return state, self.obs(state), r, jnp.zeros((), bool)
+
+        def obs(self, state):
+            return {"x": jnp.ones((2,)) * state["t"]}
+
+    def policy(agent, obs_window, rng):
+        B = obs_window["x"].shape[0]
+        return jnp.zeros((B, 4, 2))
+
+    out = engine.run_batched_eval(BlowupEnv(), None, 4, jax.random.PRNGKey(0),
+                                  obs_horizon=1, action_horizon=4,
+                                  episode_len=20, policy=policy)
+    assert (np.asarray(out["per_episode"]["horizon"]) == 5).all()
+    assert not np.asarray(out["per_episode"]["success"]).any()
+    # rewards stop accumulating at the blow-up (4 finite steps of 1.0)
+    np.testing.assert_allclose(np.asarray(out["per_episode"]["reward"]), 4.0)
