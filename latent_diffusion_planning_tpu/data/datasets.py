@@ -200,6 +200,11 @@ class MixedOfflineData:
 
     def _eval_dataset(self) -> DeviceDataset:
         if self._eval is None:
+            if self.eval_n_overfit is not None:
+                # loud, not silent (VERDICT r2 weak 8): offline eval metrics
+                # run over this many demos, not the full eval file
+                print(f"[data:{self.name}] eval metrics capped to "
+                      f"eval_n_episode_overfit={self.eval_n_overfit} demos")
             self._eval_welded = _loader(self.format)(
                 self.eval_path, self.obs_keys, n_demos=self.eval_n_overfit,
                 latent_path=self.eval_latent_path, name=f"{self.name}/eval")

@@ -19,6 +19,7 @@ pure-JAX path when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import subprocess
 from typing import Iterator
 
 import numpy as np
@@ -45,6 +46,22 @@ def _load_lib():
                             ctypes.POINTER(ctypes.c_int64)]
     lib.wp_destroy.argtypes = [ctypes.c_void_p]
     return lib
+
+
+def available() -> bool:
+    """True iff the native engine builds and loads on this host.
+
+    Callers choosing between HostPrefetcher and the device gather path
+    should gate on this rather than catching load failures themselves —
+    the build is content-hash cached so the probe is cheap after the first
+    call.
+    """
+    try:
+        _load_lib()
+        return True
+    except (OSError, subprocess.CalledProcessError, FileNotFoundError,
+            ImportError):
+        return False
 
 
 class HostPrefetcher:

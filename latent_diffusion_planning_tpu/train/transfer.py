@@ -115,12 +115,17 @@ def map_mlp_diffusion_params(ref_params: Mapping) -> dict:
 
 def map_diffusers_vae_params(ref_params: Mapping,
                              block_out_channels: Sequence[int],
-                             layers_per_block: int = 2) -> dict:
+                             layers_per_block: int = 2,
+                             strict: bool = True) -> dict:
     """diffusers FlaxAutoencoderKL pytree → models/vae.KLVAE params.
 
     Both are NHWC flax convs so kernels transfer verbatim; only the module
     naming differs. Use with KLVAE(downsample_pad='diffusers') — diffusers
     downsample convs pad ((0,1),(0,1)), not SAME.
+
+    ``strict`` raises when any source parameter is not consumed by the
+    mapping — a wrong block_out_channels/layers_per_block would otherwise
+    silently yield a partially mapped pytree (ADVICE r2).
     """
     L = len(block_out_channels)
     flat = _flat(ref_params)
@@ -184,6 +189,14 @@ def map_diffusers_vae_params(ref_params: Mapping,
 
     unmapped = set(flat) - {f"{s}/{x}" for s in _ref_vae_sources(
         L, layers_per_block, flat) for x in ("kernel", "bias", "scale")}
+    if unmapped:
+        msg = (f"map_diffusers_vae_params left {len(unmapped)} source "
+               f"param(s) unmapped (wrong block_out_channels/"
+               f"layers_per_block?): {sorted(unmapped)[:8]}")
+        if strict:
+            raise ValueError(msg)
+        import warnings
+        warnings.warn(msg, stacklevel=2)
     return _unflat(out)
 
 

@@ -42,24 +42,47 @@ def _looks_like_diffusers_vae(tree) -> bool:
 
 def convert(snapshot: dict, planner_down_dims, block_out_channels,
             layers_per_block: int = 2) -> dict:
+    """Map a reference snapshot's param trees into this framework's naming.
+
+    Planner/IDM EMA trees are skipped — the reference's own restore protocol
+    copies plain params into ema on load (train_bc.py:230-238), so they carry
+    no extra information. VAE EMA trees are the opposite: the reference's
+    StableVAEModel *encodes datasets with ema_params*
+    (model/stable_vae_model.py reconstruct :89-100), so when a snapshot holds
+    both, the EMA tree becomes our ``vae_params`` (ADVICE r2).
+    """
     out = {}
+    vae_trees: dict[bool, dict] = {}  # is_ema -> mapped tree
+
+    def _map_vae(tree):
+        return transfer.map_diffusers_vae_params(
+            tree, block_out_channels, layers_per_block)
+
     for key, tree in snapshot.items():
-        if key in ("cfg", "data") or "ema" in key:
+        if key in ("cfg", "data"):
             continue
+        is_ema = "ema" in key
+        if _looks_like_diffusers_vae(tree):
+            vae_trees[is_ema] = _map_vae(tree)
+            continue
+        if key.endswith("_params") and isinstance(tree, dict) and \
+                _looks_like_diffusers_vae(tree.get("params", {})):
+            vae_trees[is_ema] = _map_vae(tree["params"])
+            continue
+        if is_ema:
+            continue  # planner/idm ema: reference restore skips these too
         if key == "planner_params":
             out[key] = transfer.map_unet1d_params(tree, planner_down_dims)
         elif key == "idm_params":
             out[key] = transfer.map_mlp_diffusion_params(tree)
-        elif _looks_like_diffusers_vae(tree):
-            out["vae_params"] = transfer.map_diffusers_vae_params(
-                tree, block_out_channels, layers_per_block)
-        elif key.endswith("_params") and _looks_like_diffusers_vae(
-                tree.get("params", {})):
-            out["vae_params"] = transfer.map_diffusers_vae_params(
-                tree["params"], block_out_channels, layers_per_block)
         elif key.endswith("_params"):
             print(f"[import] passing through unrecognized {key}")
             out[key] = tree
+    if vae_trees:
+        if True in vae_trees:
+            print("[import] using VAE EMA params (reference encodes with "
+                  "ema_params)")
+        out["vae_params"] = vae_trees.get(True, vae_trees.get(False))
     return out
 
 
