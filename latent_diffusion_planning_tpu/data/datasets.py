@@ -36,6 +36,62 @@ def _loader(fmt: str):
     raise ValueError(f"unknown dataset format {fmt!r}")
 
 
+def measure_stats(welded: ingest.WeldedDemos, keys: Sequence[str],
+                  pad: float = 0.05, name: str = "") -> dict:
+    """Per-dim min/max measured from the data, padded by ``pad``·range.
+
+    The reference's per-task normalization tables are exactly this — measured
+    demo ranges hand-transcribed into the data yamls (e.g.
+    data/cfg/aloha_cube/latent_wrist.yaml:33-50 qpos/actions min/max lists).
+    Hand-tuned bounds proved fragile (round-2: full-range bounds crush
+    diffusion-target contrast; round-3: re-tuned bounds still failed), so the
+    facades can now compute them from the loaded demos directly via
+    ``stats_from_data`` — same numbers the reference measured, no
+    transcription step.
+    """
+    out = {}
+    for key in keys:
+        arr = np.asarray(welded.arrays[key], np.float64)
+        if key.startswith("latent_"):
+            # GLOBAL scalar bounds for VAE latents — reference parity:
+            # process_sdvae_data.py:114-118 records scalar min_z/max_z attrs
+            # over the whole dataset. Per-dim bounds would stretch
+            # low-variance (noise-dominated) latent dims to full [-1,1]
+            # scale, destroying the latent SNR structure the diffusion
+            # planner has to predict (measured: plan loss 0.77 per-dim vs
+            # converging with global bounds on the same data).
+            lo, hi = float(arr.min()), float(arr.max())
+            span = max(hi - lo, 1e-4)
+            out[key] = {"min": round(lo - pad * span, 5),
+                        "max": round(hi + pad * span, 5)}
+            print(f"[data:{name}] measured {key} global bounds "
+                  f"min={out[key]['min']} max={out[key]['max']}")
+            continue
+        lo, hi = arr.min(axis=0), arr.max(axis=0)
+        span = np.maximum(hi - lo, 1e-4)
+        lo, hi = lo - pad * span, hi + pad * span
+        out[key] = {"min": [round(float(v), 5) for v in lo],
+                    "max": [round(float(v), 5) for v in hi]}
+        print(f"[data:{name}] measured {key} bounds "
+              f"min={out[key]['min']} max={out[key]['max']}")
+    return out
+
+
+def _apply_measured_stats(meta: Mapping[str, Any], welded, keys, pad, name):
+    """Deep-copied meta with measured bounds spliced into obs_normalization."""
+    import copy
+
+    meta = copy.deepcopy(dict(meta))
+    stats = measure_stats(welded, keys, pad=pad, name=name)
+    norm = meta.setdefault("obs_normalization", {})
+    for key, mm in stats.items():
+        if key == "actions":
+            norm["actions"] = mm
+        else:
+            norm.setdefault("obs", {})[key] = mm
+    return meta
+
+
 class OfflineData:
     def __init__(self, *, name: str, train_path: str, eval_path: str,
                  meta: Mapping[str, Any], env_params: Mapping[str, Any] | None = None,
@@ -48,6 +104,8 @@ class OfflineData:
                  format: str = "robomimic",
                  seed: int = 0,
                  device_put: bool = True,
+                 stats_from_data: Sequence[str] | None = None,
+                 stats_pad: float = 0.05,
                  # accepted for config parity; prefetch is on-device now
                  n_workers: int = 0, prefetch_factor: int = 0):
         self.name = name
@@ -65,6 +123,14 @@ class OfflineData:
                                  eval_n_episode_overfit))
         self._welded: dict[str, ingest.WeldedDemos] = {}
         self._device: dict[str, DeviceDataset] = {}
+        if stats_from_data:
+            # measured bounds replace the config's hand-written ones; the
+            # Workspace re-reads meta at agent-create time so the agent
+            # normalizes with these (train AND eval rebuild them from the
+            # same file — deterministic)
+            self.meta = _apply_measured_stats(
+                self.meta, self.welded("train"), list(stats_from_data),
+                stats_pad, self.name)
 
     # ------------------------------------------------------------------
     @property
@@ -139,6 +205,8 @@ class MixedOfflineData:
                  eval_latent_paths: str | None = None,
                  format: str = "robomimic", seed: int = 0,
                  device_put: bool = True,
+                 stats_from_data: Sequence[str] | None = None,
+                 stats_pad: float = 0.05,
                  n_workers: int = 0, prefetch_factor: int = 0):
         self.name = name
         self.meta = meta
@@ -170,6 +238,12 @@ class MixedOfflineData:
         self._mixed: MixedDeviceDataset | None = None
         self._eval: DeviceDataset | None = None
         self._eval_welded: ingest.WeldedDemos | None = None
+        self._cat_welded: ingest.WeldedDemos | None = None
+        if stats_from_data:
+            self._train_mixed()
+            self.meta = _apply_measured_stats(
+                self.meta, self._cat_welded, list(stats_from_data),
+                stats_pad, self.name)
 
     @property
     def shape_meta(self):
@@ -189,6 +263,7 @@ class MixedOfflineData:
                     optimal=1.0 if i == 0 else 0.0,
                     name=f"{self.name}/train{i}"))
             cat = ingest.concat_welded(welded, name=f"{self.name}/train")
+            self._cat_welded = cat
             device = DeviceDataset.from_welded(
                 cat, frame_stack=self.obs_horizon, seq_length=self.seq_length,
                 device_put=self.device_put)

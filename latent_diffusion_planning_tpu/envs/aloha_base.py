@@ -61,11 +61,21 @@ def arm_reset() -> ArmState:
 
 
 def arm_step(arm: ArmState, q_target: jnp.ndarray,
-             grip_target: jnp.ndarray) -> ArmState:
-    """One control step of the position servos (targets in rad / [0,1])."""
+             grip_target: jnp.ndarray,
+             grip_rate: float | None = None) -> ArmState:
+    """One control step of the position servos (targets in rad / [0,1]).
+
+    ``grip_rate`` caps the normalized gripper travel per control step —
+    contact-physics envs use it so finger pads close at a bounded velocity
+    instead of the near-instant GRIP_ALPHA response (a pad sweeping the full
+    gap in one step would punt the cube before the opposite pad catches it).
+    """
     q_target = jnp.clip(q_target, C.ARM_JOINT_LO, C.ARM_JOINT_HI)
     q_new = arm.qpos + SERVO_ALPHA * (q_target - arm.qpos)
-    g_new = arm.grip + GRIP_ALPHA * (jnp.clip(grip_target, 0.0, 1.0) - arm.grip)
+    g_delta = GRIP_ALPHA * (jnp.clip(grip_target, 0.0, 1.0) - arm.grip)
+    if grip_rate is not None:
+        g_delta = jnp.clip(g_delta, -grip_rate, grip_rate)
+    g_new = arm.grip + g_delta
     return ArmState(qpos=q_new, qvel=(q_new - arm.qpos) / C.DT,
                     grip=g_new, grip_vel=(g_new - arm.grip) / C.DT)
 
@@ -103,7 +113,7 @@ def touching(chain: K.JointChain, arm: ArmState,
 
 def scripted_arm_action(chain: K.JointChain, arm: ArmState,
                         cart_target: jnp.ndarray,
-                        speed: float = 0.015) -> jnp.ndarray:
+                        speed: float | jnp.ndarray = 0.015) -> jnp.ndarray:
     """Cartesian waypoint → joint-target action via one DLS-IK step.
 
     The reference scripts demos in EE (mocap) space and replays joint

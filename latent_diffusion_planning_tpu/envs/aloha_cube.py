@@ -1,4 +1,4 @@
-"""Device-resident bimanual ALOHA transfer-cube task — joint-space dynamics.
+"""Device-resident bimanual ALOHA transfer-cube task — contact physics.
 
 Batched on-device counterpart of the reference's dm_control bimanual ViperX
 transfer-cube env (envs/alohasim_env.py):
@@ -11,15 +11,19 @@ transfer-cube env (envs/alohasim_env.py):
   :76-97), ``env_state`` = cube pose (get_env_state :139-141),
   ``wrist64_image`` rendered from the camera on the right gripper frame
   (vx300s_right.xml:27),
-- staged contact reward 0-4 (touch-right → lifted → touch-left → transferred,
-  :143-167), success at max_reward=4,
+- staged contact reward 0-4 (touch-right → lifted → touch-left →
+  transferred, :143-167), success at max_reward=4,
 - episode protocol: 400 steps at DT=0.02, cube spawn x∈[0,0.2] y∈[0.4,0.6]
   (alohasim_ee_env.sample_box_pose :16-25), arms at START_ARM_POSE.
 
 Dynamics: per-joint position servos over the exact MJCF ViperX kinematic
-chains (envs/aloha_base.py); the cube attaches kinematically to a closing
-gripper whose grasp point is within reach (force-based contact grasping is
-the physics-core upgrade path, envs/lift_physics.py).
+chains (envs/aloha_base.py) carry two kinematic sphere finger pads per
+gripper; the cube is a free rigid body on the penalty-contact engine
+(envs/physics/engine.py) — grasping, the bimanual handoff, and free fall
+all emerge from contact forces + Coulomb friction, and every reward stage
+keys off *physical contact events* (engine.pair_in_contact), exactly the
+reference's MuJoCo geom-pair semantics (alohasim_env.py:145-156:
+touch_right_gripper / touch_table contact scans), not distance proxies.
 """
 
 from __future__ import annotations
@@ -32,23 +36,66 @@ from ..ops import render as R
 from ..ops import rotations as rot
 from . import aloha_base as B
 from . import aloha_constants as C
+from . import physics as ph
+from .physics import kinematics as K
 
 CUBE_HALF = 0.02
-LIFT_EPS = 0.015
+CUBE_MASS = 0.05
+PAD_RADIUS = 0.008
+# pad half-gap along the gripper y-axis: fully open clears the cube by
+# 17 mm; fully closed squeezes 1.8 mm past kissing contact (the penalty
+# penetration that generates the grip normal force — same squeeze margin
+# that holds the Lift cube at 100% expert success, envs/lift_physics.py)
+FINGER_MAX_HALFGAP = 0.045
+FINGER_MIN_HALFGAP = CUBE_HALF + PAD_RADIUS - 0.0018
+GRIP_RATE = 0.25          # normalized grip travel per control step
 MEET = jnp.asarray([0.0, 0.5, 0.25])
+
+# body indices in the physics world
+CUBE, LPAD_A, LPAD_B, RPAD_A, RPAD_B = range(5)
+
+
+def _make_world() -> ph.World:
+    geoms = ph.build_geoms(
+        [ph.make_box_geom([CUBE_HALF] * 3, body_id=CUBE)]
+        + [ph.make_sphere_geom(PAD_RADIUS, body_id=b)
+           for b in (LPAD_A, LPAD_B, RPAD_A, RPAD_B)])
+    inertia_cube = [CUBE_MASS * (2 * CUBE_HALF) ** 2 / 6.0] * 3
+    return ph.World.create(
+        mass=[CUBE_MASS, 1.0, 1.0, 1.0, 1.0],
+        inertia=[inertia_cube] + [[1e-3] * 3] * 4,
+        geoms=geoms, plane_z=B.TABLE_Z,
+        kinematic=[False, True, True, True, True])
+
+
+def pad_positions(chain: K.JointChain, arm: B.ArmState):
+    """(pad_a, pad_b) world positions for one gripper's finger pads.
+
+    The ViperX chain is planar in its shoulder-yaw frame, so the gripper
+    y-axis (the finger-opening direction, vx300s MJCF finger slide axis)
+    stays horizontal in every reachable pose — pads straddle the grasp
+    point along it at the grip-controlled half-gap.
+    """
+    tip, g_quat = B.eef(chain, arm)
+    axis = rot.quat_rotate(g_quat, jnp.asarray([0.0, 1.0, 0.0]))
+    gap = FINGER_MIN_HALFGAP + jnp.clip(arm.grip, 0.0, 1.0) * (
+        FINGER_MAX_HALFGAP - FINGER_MIN_HALFGAP)
+    return tip - axis * gap, tip + axis * gap
 
 
 class AlohaCubeState(flax.struct.PyTreeNode):
     left: B.ArmState
     right: B.ArmState
-    cube_pos: jnp.ndarray
-    held_left: jnp.ndarray    # () bool
-    held_right: jnp.ndarray   # () bool
+    bodies: ph.RigidBody      # [cube, lpad_a, lpad_b, rpad_a, rpad_b]
     t: jnp.ndarray
+
+    @property
+    def cube_pos(self) -> jnp.ndarray:
+        return self.bodies.pos[CUBE]
 
 
 class AlohaTransferCubeEnv:
-    """Pure-function bimanual transfer-cube env (joint-space control)."""
+    """Pure-function bimanual transfer-cube env (contact physics)."""
 
     obs_keys = ("qpos", "qvel", "env_state", "wrist64_image")
     action_dim = 14
@@ -57,7 +104,8 @@ class AlohaTransferCubeEnv:
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
                  episode_len: int = 400, renderer: str = "xla",
-                 camera_names: tuple = ("wrist64",)):
+                 camera_names: tuple = ("wrist64",),
+                 n_substeps: int = 10, dt: float = 0.002):
         """``camera_names`` selects the observed cameras (reference surface:
         wrist64 + top/angle/front_close/left_pillar, alohasim_env.py:102-114
         — static ones render at their reference resolutions)."""
@@ -66,58 +114,87 @@ class AlohaTransferCubeEnv:
         self.episode_len = episode_len
         self.renderer = renderer
         self.camera_names = tuple(camera_names)
+        self.n_substeps = n_substeps
+        self.world = _make_world()
+        self.params = ph.PhysicsParams(dt=dt, mu=1.5, kt=2000.0)
 
     # ------------------------------------------------------------------
+    def _bodies_from_arms(self, left: B.ArmState, right: B.ArmState,
+                          cube_pos, cube_quat) -> ph.RigidBody:
+        la, lb = pad_positions(B.LEFT_CHAIN, left)
+        ra, rb = pad_positions(B.RIGHT_CHAIN, right)
+        return ph.RigidBody.create(
+            pos=jnp.stack([cube_pos, la, lb, ra, rb]),
+            quat=jnp.stack([cube_quat] + [rot.quat_identity()] * 4))
+
     def reset(self, rng: jax.Array):
         x_rng, y_rng = jax.random.split(rng)
         cube = jnp.asarray([
             jax.random.uniform(x_rng, (), minval=0.0, maxval=0.2),
             jax.random.uniform(y_rng, (), minval=0.4, maxval=0.6),
             B.TABLE_Z + CUBE_HALF])
+        left, right = B.arm_reset(), B.arm_reset()
         state = AlohaCubeState(
-            left=B.arm_reset(), right=B.arm_reset(),
-            cube_pos=cube,
-            held_left=jnp.zeros((), bool),
-            held_right=jnp.zeros((), bool),
+            left=left, right=right,
+            bodies=self._bodies_from_arms(left, right, cube,
+                                          rot.quat_identity()),
             t=jnp.zeros((), jnp.int32))
         return state, self.obs(state)
 
     # ------------------------------------------------------------------
     def step(self, state: AlohaCubeState, action: jnp.ndarray):
-        left = B.arm_step(state.left, action[0:6], action[6])
-        right = B.arm_step(state.right, action[7:13], action[13])
+        left = B.arm_step(state.left, action[0:6], action[6],
+                          grip_rate=GRIP_RATE)
+        right = B.arm_step(state.right, action[7:13], action[13],
+                           grip_rate=GRIP_RATE)
 
-        held_left = B.holding(B.LEFT_CHAIN, left, state.cube_pos,
-                              state.held_left)
-        held_right = B.holding(B.RIGHT_CHAIN, right, state.cube_pos,
-                               state.held_right)
-        # left takes priority on simultaneous holds (transfer handoff)
-        held_right = held_right & ~held_left
+        la, lb = pad_positions(B.LEFT_CHAIN, left)
+        ra, rb = pad_positions(B.RIGHT_CHAIN, right)
+        control_dt = self.params.dt * self.n_substeps
+        bodies = state.bodies
+        new_pads = jnp.stack([la, lb, ra, rb])
+        pad_vel = (new_pads - bodies.pos[1:]) / control_dt
+        bodies = bodies.replace(
+            pos=bodies.pos.at[1:].set(new_pads),
+            linvel=bodies.linvel.at[1:].set(pad_vel))
+        bodies = ph.multi_step(self.world, bodies, self.params,
+                               self.n_substeps)
 
-        l_tip, _ = B.eef(B.LEFT_CHAIN, left)
-        r_tip, _ = B.eef(B.RIGHT_CHAIN, right)
-        free_z = jnp.maximum(state.cube_pos[2] - 0.02, B.TABLE_Z + CUBE_HALF)
-        cube = jnp.where(held_left, l_tip,
-                         jnp.where(held_right, r_tip,
-                                   state.cube_pos.at[2].set(free_z)))
-
-        new_state = AlohaCubeState(
-            left=left, right=right, cube_pos=cube,
-            held_left=held_left, held_right=held_right, t=state.t + 1)
+        new_state = AlohaCubeState(left=left, right=right, bodies=bodies,
+                                   t=state.t + 1)
         reward = self.reward(new_state)
         success = reward >= self.max_reward
         return new_state, self.obs(new_state), reward, success
 
+    def contact_flags(self, state: AlohaCubeState) -> dict:
+        """Physical-contact predicates for rewards and the scripted expert
+        (parity: alohasim_env.py:145-156 geom-pair contact scans)."""
+        contacts = ph.generate_contacts(self.world, state.bodies)
+        flags = {
+            "touch_left": (ph.pair_in_contact(contacts, CUBE, LPAD_A)
+                           | ph.pair_in_contact(contacts, CUBE, LPAD_B)),
+            "touch_right": (ph.pair_in_contact(contacts, CUBE, RPAD_A)
+                            | ph.pair_in_contact(contacts, CUBE, RPAD_B)),
+            "on_table": ph.pair_in_contact(contacts, CUBE, -1),
+            "held_left": (ph.pair_in_contact(contacts, CUBE, LPAD_A)
+                          & ph.pair_in_contact(contacts, CUBE, LPAD_B)),
+            "held_right": (ph.pair_in_contact(contacts, CUBE, RPAD_A)
+                           & ph.pair_in_contact(contacts, CUBE, RPAD_B)),
+        }
+        return flags
+
     def reward(self, state: AlohaCubeState) -> jnp.ndarray:
-        """Staged ladder parity: alohasim_env.py:143-167."""
-        touch_right = B.touching(B.RIGHT_CHAIN, state.right, state.cube_pos)
-        touch_left = B.touching(B.LEFT_CHAIN, state.left, state.cube_pos)
-        off_table = state.cube_pos[2] > B.TABLE_Z + CUBE_HALF + LIFT_EPS
+        """Staged ladder parity: alohasim_env.py:143-167 — every stage is a
+        contact event (touch = cube↔pad contact, lifted = no cube↔table
+        contact), matching the reference's ``touch_right_gripper and not
+        touch_table`` ladder."""
+        f = self.contact_flags(state)
+        off_table = ~f["on_table"]
         r = jnp.zeros(())
-        r = jnp.where(touch_right, 1.0, r)
-        r = jnp.where(touch_right & off_table, 2.0, r)
-        r = jnp.where(touch_left, 3.0, r)
-        r = jnp.where(touch_left & off_table, 4.0, r)
+        r = jnp.where(f["touch_right"], 1.0, r)
+        r = jnp.where(f["touch_right"] & off_table, 2.0, r)
+        r = jnp.where(f["touch_left"], 3.0, r)
+        r = jnp.where(f["touch_left"] & off_table, 4.0, r)
         return r
 
     # ------------------------------------------------------------------
@@ -125,8 +202,8 @@ class AlohaTransferCubeEnv:
         out = {
             "qpos": B.qpos_obs(state.left, state.right),
             "qvel": B.qvel_obs(state.left, state.right),
-            "env_state": jnp.concatenate([state.cube_pos,
-                                          rot.quat_identity()]),
+            "env_state": jnp.concatenate([state.bodies.pos[CUBE],
+                                          state.bodies.quat[CUBE]]),
         }
         if self.render_images:
             scene = self.scene(state)
@@ -142,12 +219,19 @@ class AlohaTransferCubeEnv:
                                            (0.25, 0.25, 0.35))
         rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
                                            (0.2, 0.3, 0.2))
+        pads = state.bodies.pos[1:]
         return R.Scene(
-            pos=jnp.concatenate([state.cube_pos[None], lp, rp]),
-            rot=jnp.concatenate([jnp.eye(3)[None], lr, rr]),
-            size=jnp.concatenate([jnp.full((1, 3), CUBE_HALF), ls, rs]),
-            color=jnp.concatenate([jnp.asarray([[0.85, 0.1, 0.1]]), lc, rc]),
-            kind=jnp.zeros((9,), jnp.int32),
+            pos=jnp.concatenate([state.bodies.pos[CUBE][None], lp, rp, pads]),
+            rot=jnp.concatenate([
+                rot.quat_to_matrix(state.bodies.quat[CUBE])[None], lr, rr,
+                jnp.tile(jnp.eye(3)[None], (4, 1, 1))]),
+            size=jnp.concatenate([jnp.full((1, 3), CUBE_HALF), ls, rs,
+                                  jnp.full((4, 3), PAD_RADIUS)]),
+            color=jnp.concatenate([jnp.asarray([[0.85, 0.1, 0.1]]), lc, rc,
+                                   jnp.tile(jnp.asarray([[0.15, 0.15, 0.18]]),
+                                            (4, 1))]),
+            kind=jnp.concatenate([jnp.zeros((9,), jnp.int32),
+                                  jnp.ones((4,), jnp.int32)]),
             plane_z=jnp.asarray(B.TABLE_Z, jnp.float32))
 
     def render(self, state: AlohaCubeState) -> jnp.ndarray:
@@ -165,41 +249,61 @@ class AlohaTransferCubeEnv:
         the reset; the paired obs comes from the same pure obs map."""
         return state, self.obs(state)
 
-
     # ------------------------------------------------------------------
     def scripted_action(self, state: AlohaCubeState,
                         rng: jax.Array | None = None,
                         noise: float = 0.0) -> jnp.ndarray:
         """Two-arm transfer expert in EE space solved through IK (parity:
         PickAndTransferPolicy, collect_aloha_scripted_demos.py:70-107):
-        right picks the cube, carries it to the meet point; left meets it,
-        grasps, right releases and retreats."""
-        cube = state.cube_pos
-        right_has = state.held_right
-        left_has = state.held_left
+        right picks the cube (align → descend → squeeze → lift), carries it
+        to the meet point; left meets it, grasps, right releases and
+        retreats. All stage decisions are physical-contact events — there
+        is no kinematic attach to cheat with."""
+        cube = state.bodies.pos[CUBE]
+        f = self.contact_flags(state)
+        # "has" = both finger pads in squeezing contact with the cube —
+        # a pure contact event, no distance/latch shortcut
+        right_has = f["held_right"]
+        left_has = f["held_left"]
         l_tip, _ = B.eef(B.LEFT_CHAIN, state.left)
         r_tip, _ = B.eef(B.RIGHT_CHAIN, state.right)
 
-        at_meet = jnp.linalg.norm(cube - MEET) < 0.02
+        at_meet = jnp.linalg.norm(cube - MEET) < 0.03
 
+        # ---- right arm: pick, carry to meet, release after handoff
         above = cube + jnp.asarray([0.0, 0.0, 0.07])
-        r_xy_near = jnp.linalg.norm(cube[:2] - r_tip[:2]) < 0.015
-        r_z_near = jnp.abs(cube[2] - r_tip[2]) < 0.015
+        r_xy_near = jnp.linalg.norm(cube[:2] - r_tip[:2]) < 0.012
+        r_z_near = jnp.abs(cube[2] - r_tip[2]) < 0.012
+        r_aligned = r_xy_near & r_z_near
+        r_grasping = r_aligned & ~right_has        # stop & squeeze phase
         r_target = jnp.where(right_has, MEET,
                              jnp.where(r_xy_near, cube, above))
         r_target = jnp.where(left_has, jnp.asarray([0.3, 0.5, 0.3]), r_target)
         r_grip = jnp.where(left_has, 1.0,
-                           jnp.where(right_has | (r_xy_near & r_z_near),
-                                     0.0, 1.0))
+                           jnp.where(right_has | r_aligned, 0.0, 1.0))
+        # hold position while the fingers close; carry slowly — friction
+        # can only accelerate the payload so fast
+        r_speed = jnp.where(r_grasping, 0.0,
+                            jnp.where(right_has & ~left_has, 0.006, 0.015))
 
+        # ---- left arm: stage, meet, grasp, hold
+        # approach point sits 1 cm toward the left side of the cube so the
+        # left pads close on cube faces, slightly offset from the right's
         stage = jnp.asarray([-0.12, MEET[1], MEET[2]])
-        l_near = jnp.linalg.norm(cube - l_tip) < 0.02
+        l_approach = cube + jnp.asarray([-0.01, 0.0, 0.0])
+        l_near = jnp.linalg.norm(l_approach - l_tip) < 0.008
+        l_grasping = at_meet & l_near & ~left_has
         l_target = jnp.where(left_has, MEET + jnp.asarray([0.0, 0.0, 0.05]),
-                             jnp.where(at_meet, cube, stage))
-        l_grip = jnp.where(left_has | (at_meet & l_near), 0.0, 1.0)
+                             jnp.where(at_meet & right_has, l_approach,
+                                       stage))
+        l_grip = jnp.where(left_has | l_grasping, 0.0, 1.0)
+        l_speed = jnp.where(l_grasping, 0.0,
+                            jnp.where(left_has, 0.004, 0.015))
 
-        ql = B.scripted_arm_action(B.LEFT_CHAIN, state.left, l_target)
-        qr = B.scripted_arm_action(B.RIGHT_CHAIN, state.right, r_target)
+        ql = B.scripted_arm_action(B.LEFT_CHAIN, state.left, l_target,
+                                   speed=l_speed)
+        qr = B.scripted_arm_action(B.RIGHT_CHAIN, state.right, r_target,
+                                   speed=r_speed)
         act = jnp.concatenate([ql, l_grip[None], qr, r_grip[None]])
         if noise > 0.0 and rng is not None:
             act = act + noise * jax.random.normal(rng, act.shape)

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
+from ..ops import rotations as rot
 
 TABLE_Z = 0.8            # table top height
 CUBE_HALF = 0.02
@@ -118,13 +119,21 @@ class LiftEnv:
     def obs(self, state: LiftState) -> dict:
         gripper_q = jnp.asarray([0.020 + 0.024 * state.gripper,
                                  -0.020 - 0.024 * state.gripper])
+        # object-state layout parity with robosuite Lift (10-dim:
+        # cube_pos, cube_quat xyzw, gripper_to_cube_pos — the exact
+        # observable robomimic's lift HDF5s record, envs/robosuite_env.py
+        # get_observation "object" ← di["object-state"]); all quats are
+        # robosuite xyzw
+        half_yaw = state.cube_yaw / 2.0
+        cube_quat = jnp.asarray([jnp.cos(half_yaw), 0.0, 0.0,
+                                 jnp.sin(half_yaw)])
         obs = {
             "robot0_eef_pos": state.eef_pos,
-            "robot0_eef_quat": jnp.asarray([1.0, 0.0, 0.0, 0.0]),
+            "robot0_eef_quat": jnp.asarray([0.0, 0.0, 0.0, 1.0]),
             "robot0_gripper_qpos": gripper_q,
             "object": jnp.concatenate([
                 state.cube_pos,
-                jnp.asarray([jnp.cos(state.cube_yaw), jnp.sin(state.cube_yaw)]),
+                rot.quat_wxyz_to_xyzw(cube_quat),
                 state.cube_pos - state.eef_pos]),
         }
         if self.render_images:
@@ -193,7 +202,7 @@ LIFT_SHAPE_META = {
         "robot0_eef_pos": [3],
         "robot0_eef_quat": [4],
         "robot0_gripper_qpos": [2],
-        "object": [8],
+        "object": [10],  # robosuite Lift object-state: pos quat_xyzw grip_to_cube
         "agentview_image": [64, 64, 3],
         "optimal": [1],
     },
@@ -206,8 +215,9 @@ LIFT_OBS_STATS = {
         "robot0_eef_quat": {"min": [-1.0, -1.0, -1.0, -1.0],
                             "max": [1.0, 1.0, 1.0, 1.0]},
         "robot0_gripper_qpos": {"min": [0.0, -0.05], "max": [0.05, 0.0]},
-        "object": {"min": [-0.25, -0.25, 0.75, -1.0, -1.0, -0.5, -0.5, -0.5],
-                   "max": [0.25, 0.25, 1.25, 1.0, 1.0, 0.5, 0.5, 0.5]},
+        "object": {"min": [-0.25, -0.25, 0.75, -1, -1, -1, -1,
+                           -0.5, -0.5, -0.5],
+                   "max": [0.25, 0.25, 1.25, 1, 1, 1, 1, 0.5, 0.5, 0.5]},
         "agentview_image": {"min": 0, "max": 255},
         "latent_agentview_image": {"min": -8.0, "max": 8.0},
         "optimal": {"min": 0, "max": 1},

@@ -155,19 +155,20 @@ class LiftPhysicsEnv:
     # ------------------------------------------------------------------
     def obs(self, state: LiftPhysState) -> dict:
         cube = state.bodies.pos[0]
-        quat = state.bodies.quat[0]
-        # planar yaw from the quaternion (cube stays mostly upright)
-        yaw = 2.0 * jnp.arctan2(quat[3], quat[0])
         gripper_q = jnp.asarray([0.020 + 0.024 * state.gripper,
                                  -0.020 - 0.024 * state.gripper])
         eef, eef_quat = K.eef_pose(PANDA_CHAIN, state.qpos)
+        # object-state layout parity with robosuite Lift (10-dim: cube_pos,
+        # cube_quat xyzw, gripper_to_cube_pos — the exact observable
+        # robomimic lift HDF5s record, envs/robosuite_env.py get_observation
+        # "object" ← di["object-state"]); all quats are robosuite xyzw
         obs = {
             "robot0_eef_pos": eef,
-            "robot0_eef_quat": eef_quat,
+            "robot0_eef_quat": rot.quat_wxyz_to_xyzw(eef_quat),
             "robot0_joint_pos": state.qpos,
             "robot0_gripper_qpos": gripper_q,
             "object": jnp.concatenate([
-                cube, jnp.asarray([jnp.cos(yaw), jnp.sin(yaw)]),
+                cube, rot.quat_wxyz_to_xyzw(state.bodies.quat[0]),
                 cube - eef]),
         }
         if self.render_images:

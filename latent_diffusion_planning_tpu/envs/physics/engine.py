@@ -412,6 +412,20 @@ def free_body_step(world: World, body: RigidBody, params: PhysicsParams,
         angvel=jnp.where(kin, body.angvel, new_angvel))
 
 
+def pair_in_contact(contacts: Contact, body_i: int,
+                    body_j: int) -> jnp.ndarray:
+    """() bool — any active contact between bodies i and j (−1 = world/plane).
+
+    The on-device analogue of the reference's MuJoCo geom-contact-pair scans
+    (envs/alohasim_env.py:145-156: ``touch_right_gripper`` etc. iterate
+    ``physics.data.contact`` for named geom pairs) — task rewards key off
+    *physical contact events*, not distance proxies.
+    """
+    ij = (contacts.body_a == body_i) & (contacts.body_b == body_j)
+    ji = (contacts.body_a == body_j) & (contacts.body_b == body_i)
+    return jnp.any((ij | ji) & (contacts.depth > 0.0))
+
+
 def multi_step(world: World, body: RigidBody, params: PhysicsParams,
                n: int) -> RigidBody:
     """n physics substeps under lax.scan (control_dt = n * params.dt)."""

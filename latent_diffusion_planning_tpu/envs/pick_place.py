@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import render as R
+from ..ops import rotations as rot
 from . import robosuite_arm as ra
 from .aloha_base import _link_frame
 from .lift import (CUBE_HALF, EEF_SPEED, GRIPPER_SPEED, GRASP_RADIUS,
@@ -41,6 +42,7 @@ class PickPlaceState(flax.struct.PyTreeNode):
     eef_target: jnp.ndarray    # integrated OSC Cartesian target
     gripper: jnp.ndarray
     obj_pos: jnp.ndarray
+    obj_yaw: jnp.ndarray       # () spawn yaw (kinematic attach: constant)
     grasped: jnp.ndarray
     t: jnp.ndarray
 
@@ -74,8 +76,11 @@ class _PickPlaceBase:
                                 lookat=(0.0, 0.0, TABLE_Z + 0.05))
 
     def reset(self, rng: jax.Array):
-        xy = jax.random.uniform(rng, (2,), minval=self.spawn_lo,
+        xy_rng, yaw_rng = jax.random.split(rng)
+        xy = jax.random.uniform(xy_rng, (2,), minval=self.spawn_lo,
                                 maxval=self.spawn_hi)
+        yaw = jax.random.uniform(yaw_rng, (), minval=-jnp.pi / 6,
+                                 maxval=jnp.pi / 6)
         eef = jnp.asarray([0.0, 0.0, TABLE_Z + 0.25])
         qpos = ra.PANDA_HOME
         for _ in range(8):  # settle the home pose onto the start target
@@ -84,6 +89,7 @@ class _PickPlaceBase:
             qpos=qpos, eef_target=eef,
             gripper=jnp.ones(()),
             obj_pos=jnp.concatenate([xy, jnp.asarray([self.rest_z()])]),
+            obj_yaw=yaw,
             grasped=jnp.zeros((), bool),
             t=jnp.zeros((), jnp.int32))
         return state, self.obs(state)
@@ -108,6 +114,7 @@ class _PickPlaceBase:
         obj = jnp.where(grasped, eef, state.obj_pos.at[2].set(free_z))
         new_state = PickPlaceState(qpos=qpos, eef_target=eef_target,
                                    gripper=grip, obj_pos=obj,
+                                   obj_yaw=state.obj_yaw,
                                    grasped=grasped, t=state.t + 1)
         success = self.check_success(new_state)
         dist = jnp.linalg.norm(obj - eef)
@@ -123,14 +130,23 @@ class _PickPlaceBase:
         gripper_q = jnp.asarray([0.020 + 0.024 * state.gripper,
                                  -0.020 - 0.024 * state.gripper])
         eef, eef_quat = K.eef_pose(PANDA_CHAIN, state.qpos)
+        # object-state layout parity with robosuite PickPlaceCan /
+        # NutAssemblySquare single-object mode (14-dim: obj_pos, obj_quat
+        # xyzw, obj_to_eef_pos, obj_to_eef_quat xyzw — the observable
+        # robomimic can/square HDF5s record, envs/robosuite_env.py
+        # get_observation "object" ← di["object-state"]); quats are xyzw
+        half_yaw = state.obj_yaw / 2.0
+        obj_quat = jnp.asarray([jnp.cos(half_yaw), 0.0, 0.0,
+                                jnp.sin(half_yaw)])
+        rel_quat = rot.quat_mul(obj_quat, rot.quat_conj(eef_quat))
         obs = {
             "robot0_eef_pos": eef,
-            "robot0_eef_quat": eef_quat,
+            "robot0_eef_quat": rot.quat_wxyz_to_xyzw(eef_quat),
             "robot0_joint_pos": state.qpos,
             "robot0_gripper_qpos": gripper_q,
             "object": jnp.concatenate([
-                state.obj_pos, self.goal_xy(),
-                state.obj_pos - eef]),
+                state.obj_pos, rot.quat_wxyz_to_xyzw(obj_quat),
+                state.obj_pos - eef, rot.quat_wxyz_to_xyzw(rel_quat)]),
         }
         if self.render_images:
             obs["agentview_image"] = self.render(state)

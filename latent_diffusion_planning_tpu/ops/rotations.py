@@ -114,6 +114,17 @@ def quat_to_axis_angle_xyzw(q_xyzw: jnp.ndarray) -> jnp.ndarray:
     return quat_to_axis_angle(q)
 
 
+def quat_wxyz_to_xyzw(q: jnp.ndarray) -> jnp.ndarray:
+    """Internal (w, x, y, z) → robosuite/robomimic observable (x, y, z, w).
+
+    Every quaternion a robomimic dataset records (robot0_eef_quat, the
+    object-state quats — envs/robosuite_env.py:142-170 via robosuite
+    observables) is xyzw; envs emit obs through this so a real robomimic
+    HDF5 and a device-collected one are byte-layout interchangeable.
+    """
+    return jnp.concatenate([q[..., 1:], q[..., :1]], axis=-1)
+
+
 def quat_integrate(q: jnp.ndarray, omega: jnp.ndarray, dt: float) -> jnp.ndarray:
     """Integrate orientation by body-frame angular velocity over dt
     (exponential map — exact for constant omega)."""

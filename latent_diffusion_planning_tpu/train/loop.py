@@ -55,6 +55,12 @@ class Workspace:
         self.rng, rng = jax.random.split(self.rng)
         agent_cfg = dict(self.cfg.agent)
         vae_snapshot_path = agent_cfg.pop("vae_pretrain_path", None)
+        if "obs_normalization" in agent_cfg:
+            # re-read from the live data facade: ``stats_from_data`` replaces
+            # the config's hand-written bounds with measured ones after the
+            # yaml interpolation already resolved (data/datasets.py)
+            agent_cfg["obs_normalization"] = self.data.meta[
+                "obs_normalization"]
         self.agent = instantiate(
             agent_cfg, rng, init_batch, self.data.shape_meta)
         if vae_snapshot_path:

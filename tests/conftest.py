@@ -39,6 +39,14 @@ assert jax.default_backend() == "cpu", (
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    # fast CI tier: `pytest -m "not slow"` (<~4 min on this 1-core box);
+    # slow = interpret-mode Pallas kernels + compile-heavy env/agent suites
+    config.addinivalue_line(
+        "markers",
+        "slow: compile-heavy (interpret-mode Pallas, env rollouts, agents)")
+
+
 @pytest.fixture(scope="session")
 def devices():
     return jax.devices()

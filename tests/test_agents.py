@@ -6,8 +6,12 @@ import numpy as np
 import pytest
 
 from latent_diffusion_planning_tpu.models.agents import (DPAgent, DPVAEAgent,
+
                                                          LDPAgent,
                                                          LDPHierAgent)
+
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 UNET = "latent_diffusion_planning_tpu.models.nets.unet1d.ConditionalUnet1D"
 MLPD = "latent_diffusion_planning_tpu.models.nets.mlp.MLPDiffusion"

@@ -11,6 +11,8 @@ from latent_diffusion_planning_tpu.envs.aloha_cube import (
     ALOHA_SHAPE_META, CUBE_HALF, AlohaTransferCubeEnv)
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def env():
@@ -63,21 +65,43 @@ def test_gripper_normalization_tables():
                - C.PUPPET_GRIPPER_POSITION_OPEN) < 1e-6
 
 
+def _with_cube(env, state, pos, left_grip=None, right_grip=None):
+    """Re-pose the cube and (optionally) squeeze a gripper on it."""
+    from latent_diffusion_planning_tpu.ops import rotations as rot
+
+    left = state.left if left_grip is None else state.left.replace(
+        grip=jnp.asarray(left_grip, jnp.float32))
+    right = state.right if right_grip is None else state.right.replace(
+        grip=jnp.asarray(right_grip, jnp.float32))
+    bodies = env._bodies_from_arms(left, right, jnp.asarray(pos),
+                                   rot.quat_identity())
+    return state.replace(left=left, right=right, bodies=bodies)
+
+
 def test_reward_ladder(env):
+    """Every stage is a *contact* event (cube↔pad / cube↔table contacts,
+    parity alohasim_env.py:145-167) — proximity alone scores nothing."""
     state, _ = env.reset(jax.random.PRNGKey(0))
     assert float(env.reward(state)) == 0.0
 
-    # cube at the right fingertip (tips start ~0.3 m up): touching + lifted = 2
     r_tip, _ = B.eef(B.RIGHT_CHAIN, state.right)
-    assert float(env.reward(state.replace(cube_pos=r_tip))) == 2.0
-    # at the left fingertip: transferred + lifted = 4
     l_tip, _ = B.eef(B.LEFT_CHAIN, state.left)
-    assert float(env.reward(state.replace(cube_pos=l_tip))) == 4.0
-    # on the table far from both: 0
-    on_table = jnp.asarray([0.1, 0.5, CUBE_HALF])
-    assert float(env.reward(state.replace(cube_pos=on_table))) == 0.0
-    # the intermediate on-table stages (1 and 3) appear during the scripted
-    # transfer as the grippers touch the grounded cube before lifting
+    # cube at the right fingertip with open fingers: NO contact, no reward
+    assert float(env.reward(_with_cube(env, state, r_tip))) == 0.0
+    # squeeze the right fingers onto it (tips start ~0.3 m up): touch +
+    # lifted = 2
+    assert float(env.reward(_with_cube(env, state, r_tip,
+                                       right_grip=0.0))) == 2.0
+    # squeezed at the left fingertip: transferred + lifted = 4
+    assert float(env.reward(_with_cube(env, state, l_tip,
+                                       left_grip=0.0))) == 4.0
+    # settled on the table far from both: 0 (slight penetration = the
+    # physical resting contact)
+    on_table = jnp.asarray([0.1, 0.5, CUBE_HALF - 1e-4])
+    assert float(env.reward(_with_cube(env, state, on_table))) == 0.0
+    # the intermediate on-table stage (1: touching while grounded) appears
+    # during the scripted transfer as the right gripper squeezes the
+    # grounded cube before lifting
     out = engine.run_scripted_collection(env, 2, jax.random.PRNGKey(3),
                                          episode_len=120)
     seen = set(np.unique(np.asarray(out["rewards"])).tolist())

@@ -10,6 +10,8 @@ from latent_diffusion_planning_tpu.envs.aloha_insertion import (
     INSERT_DEPTH, MEET_L, PEG_HALF, SOCKET_HALF, AlohaInsertionEnv)
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def env():

@@ -142,3 +142,31 @@ def test_uint8_images_roundtrip(tmp_path):
     ds = DeviceDataset.from_welded(w, frame_stack=1, seq_length=2)
     batch = ds.sample(jax.random.PRNGKey(0), 4)
     assert batch["obs"]["agentview_image"].dtype == jnp.uint8
+
+
+def test_stats_from_data_measures_bounds(h5):
+    """stats_from_data replaces hand-written normalization bounds with
+    per-dim ranges measured from the loaded demos (the reference's measured
+    per-task tables, data/cfg/aloha_cube/latent_wrist.yaml:33-50, computed
+    instead of transcribed)."""
+    meta = {"lowdim_obs": ["robot0_eef_pos"], "rgb_obs": [],
+            "shape_meta": {"ac_dim": 4,
+                           "all_shapes": {"robot0_eef_pos": [3]}},
+            "obs_normalization": synthetic.synthetic_stats(OBS_SHAPES)}
+    data = OfflineData(name="syn", train_path=str(h5), eval_path=str(h5),
+                       meta=meta, batch_size=8, obs_horizon=1, seq_length=3,
+                       stats_from_data=["robot0_eef_pos", "actions"],
+                       stats_pad=0.05)
+    norm = data.meta["obs_normalization"]
+    w = data.welded("train")
+    arr = np.asarray(w.arrays["robot0_eef_pos"])
+    lo, hi = arr.min(0), arr.max(0)
+    span = np.maximum(hi - lo, 1e-4)
+    np.testing.assert_allclose(norm["obs"]["robot0_eef_pos"]["min"],
+                               lo - 0.05 * span, atol=1e-4)
+    np.testing.assert_allclose(norm["obs"]["robot0_eef_pos"]["max"],
+                               hi + 0.05 * span, atol=1e-4)
+    acts = np.asarray(w.arrays["actions"])
+    assert len(norm["actions"]["min"]) == acts.shape[1]
+    # the original meta dict is untouched (deep copy)
+    assert "min" not in meta["obs_normalization"].get("actions", {})

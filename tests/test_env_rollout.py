@@ -9,6 +9,8 @@ from latent_diffusion_planning_tpu.envs.lift import (LIFT_SHAPE_META, LiftEnv,
                                                      TABLE_Z)
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def env():
@@ -22,7 +24,7 @@ def test_reset_deterministic(env):
     s3, _ = env.reset(jax.random.PRNGKey(6))
     assert not np.allclose(np.asarray(s1.cube_pos), np.asarray(s3.cube_pos))
     assert o1["robot0_eef_pos"].shape == (3,)
-    assert o1["object"].shape == (8,)
+    assert o1["object"].shape == (10,)
 
 
 def test_step_moves_eef(env):

@@ -8,6 +8,8 @@ import pytest
 from latent_diffusion_planning_tpu.envs.lift_physics import LiftPhysicsEnv
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def env():
@@ -19,7 +21,7 @@ def test_obs_surface_matches_lift(env):
     assert set(obs) == {"robot0_eef_pos", "robot0_eef_quat",
                         "robot0_joint_pos", "robot0_gripper_qpos", "object"}
     assert obs["robot0_joint_pos"].shape == (7,)
-    assert obs["object"].shape == (8,)
+    assert obs["object"].shape == (10,)
 
 
 def test_cube_is_dynamic(env):

@@ -6,7 +6,13 @@ import numpy as np
 
 from latent_diffusion_planning_tpu.ops import render as R
 from latent_diffusion_planning_tpu.ops.pallas.raycast import (render_pallas,
+
+
                                                               render_batch_pallas)
+import pytest
+
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 
 def _scene():

@@ -18,6 +18,8 @@ from latent_diffusion_planning_tpu.ops.pallas.diffusion_mlp import (
     fused_mlp_diffusion_sample)
 from latent_diffusion_planning_tpu.ops.pallas.diffusion_unet1d import (
     fused_unet1d_ddim_sample)
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 
 @pytest.fixture(autouse=True)

@@ -17,6 +17,8 @@ from latent_diffusion_planning_tpu.models.agents import LDPAgent
 from latent_diffusion_planning_tpu.parallel import mesh as meshlib
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def agent_batch():

@@ -9,6 +9,8 @@ from latent_diffusion_planning_tpu.envs.pick_place import (BIN_CENTER, CanEnv,
                                                            PEG_POS, SquareEnv)
 from latent_diffusion_planning_tpu.rollout import engine
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 
 @pytest.fixture(scope="module")
 def can_env():

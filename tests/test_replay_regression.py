@@ -15,6 +15,8 @@ import jax
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 FIXTURE = Path(__file__).parent / "fixtures" / "replay_golden.npz"
 
 

@@ -155,3 +155,42 @@ def test_env_meta_builds_device_env(facade):
     assert env.episode_len == 40
     state, obs = env.reset(jax.random.PRNGKey(0))
     assert "robot0_eef_pos" in obs
+
+
+def test_obs_shape_parity_with_recorded_dataset(facade, tmp_path):
+    """The env built from a dataset's env_args emits obs that shape-match the
+    dataset's recorded observables with zero remapping (VERDICT r2 missing 4:
+    robosuite object-state layouts — Lift 10-dim pos+quat_xyzw+eef-rel,
+    envs/robosuite_env.py:142-170 via robosuite task observables)."""
+    import h5py
+    from latent_diffusion_planning_tpu.envs.from_meta import make_env_from_meta
+
+    env = make_env_from_meta(facade.env_meta, render_images=True)
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    with h5py.File(facade._paths["train"][0], "r") as f:
+        rec = f["data/demo_1/obs"]
+        for key in ("robot0_eef_pos", "robot0_eef_quat",
+                    "robot0_gripper_qpos", "object", "agentview_image"):
+            assert tuple(obs[key].shape) == rec[key].shape[1:], key
+
+
+@pytest.mark.parametrize("env_name,object_dim", [
+    ("PickPlaceCan", 14), ("NutAssemblySquare", 14)])
+def test_pick_place_object_state_dims(env_name, object_dim):
+    """Can/Square object-state is robosuite's 14-dim single-object layout:
+    obj_pos(3) obj_quat_xyzw(4) obj_to_eef_pos(3) obj_to_eef_quat_xyzw(4)."""
+    from latent_diffusion_planning_tpu.envs.from_meta import make_env_from_meta
+    env = make_env_from_meta({"env_name": env_name, "env_kwargs": {}},
+                             render_images=False)
+    _, obs = env.reset(jax.random.PRNGKey(0))
+    assert obs["object"].shape == (object_dim,)
+    assert obs["robot0_eef_quat"].shape == (4,)
+    # quat observables are unit and xyzw (robosuite convention): the obs is
+    # the wxyz FK quat rolled so w lands last
+    q = np.asarray(obs["robot0_eef_quat"])
+    assert abs(np.linalg.norm(q) - 1.0) < 1e-4
+    from latent_diffusion_planning_tpu.envs.pick_place import PANDA_CHAIN
+    from latent_diffusion_planning_tpu.envs.physics import kinematics as K
+    state, _ = env.reset(jax.random.PRNGKey(0))
+    _, fk_quat = K.eef_pose(PANDA_CHAIN, state.qpos)
+    np.testing.assert_allclose(q, np.roll(np.asarray(fk_quat), -1), atol=1e-5)

@@ -14,6 +14,8 @@ from latent_diffusion_planning_tpu.data import synthetic
 from latent_diffusion_planning_tpu.train.loop import Workspace
 from latent_diffusion_planning_tpu.utils.config import load_config
 
+pytestmark = pytest.mark.slow  # compile-heavy: run with -m "not slow" for the fast tier
+
 UNET = "latent_diffusion_planning_tpu.models.nets.unet1d.ConditionalUnet1D"
 MLPD = "latent_diffusion_planning_tpu.models.nets.mlp.MLPDiffusion"
 

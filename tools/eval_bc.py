@@ -44,6 +44,10 @@ def main(argv=None) -> None:
     batch = next(data.train_dataloader())
     agent_cfg = dict(run_cfg.agent)
     agent_cfg.pop("vae_pretrain_path", None)
+    if "obs_normalization" in agent_cfg:
+        # stats_from_data: the facade recomputed measured bounds from the
+        # same train file — mirror train/loop.py so eval normalizes alike
+        agent_cfg["obs_normalization"] = data.meta["obs_normalization"]
     base_agent = instantiate(agent_cfg, jax.random.PRNGKey(0), batch,
                              data.shape_meta)
 

@@ -1,0 +1,45 @@
+#!/bin/bash
+# Self-contained LDP pipeline on the CONTACT-PHYSICS bimanual ALOHA
+# transfer-cube task (reference recipe: scripted demos -> VAE -> latents ->
+# LDP -> eval). Round-3 recipe fixes over run_aloha_pipeline.sh:
+#   - the env is the penalty-contact AlohaTransferCubeEnv (cube on the
+#     rigid-body engine, contact-event rewards — envs/aloha_cube.py),
+#   - 256-dim VAE latents (reference SD-VAE capacity: 8x8x4) instead of 16,
+#   - qpos/action/latent normalization bounds measured from the demos
+#     (stats_from_data), the reference's measured-table protocol.
+set -e
+cd "$(dirname "$0")/.."
+RUN=${RUN:-aloha_phys}
+STEPS=${STEPS:-60000}
+ENV=latent_diffusion_planning_tpu.envs.aloha_cube.AlohaTransferCubeEnv
+DATA=datasets/aloha_cube_phys
+python tools/collect_demos.py env._target_=$ENV \
+  n_episodes=128 episode_len=150 out_path=$DATA/demos.hdf5 seed=0
+python tools/collect_demos.py env._target_=$ENV \
+  n_episodes=32 episode_len=150 out_path=$DATA/demos_eval.hdf5 seed=77
+python tools/train_vae.py data=aloha_cube/wrist \
+  data.train_path=$DATA/demos.hdf5 \
+  data.eval_path=$DATA/demos_eval.hdf5 \
+  'model.vae.block_out_channels=[128,128]' model.vae.patch_size=4 \
+  model.vae.norm_groups=32 \
+  batch_size=64 n_grad_steps=4000 warmup_steps=100 lr=3e-4 \
+  eval_every=2000 save_every=2000 \
+  experiment_folder=$RUN experiment_name=vae
+python tools/process_latents.py vae_snapshot_path=experiments/$RUN/vae/ckpt/4000.ckpt \
+  'vae.block_out_channels=[128,128]' vae.patch_size=4 vae.norm_groups=32 \
+  'rgb_keys=[wrist64_image]' \
+  "src_paths=[$DATA/demos.hdf5,$DATA/demos_eval.hdf5]" \
+  "dst_paths=[$DATA/demos_latent.hdf5,$DATA/demos_eval_latent.hdf5]"
+python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
+  'model_vae.block_out_channels=[128,128]' model_vae.patch_size=4 \
+  model_vae.norm_groups=32 \
+  agent.vae_pretrain_path=experiments/$RUN/vae/ckpt/4000.ckpt \
+  agent.vae_feature_dim=256 \
+  'agent.planner.down_dims=[128,256,512]' \
+  agent.planner_n_diffusion_steps=50 agent.idm_n_diffusion_steps=50 \
+  agent.planner_inference_steps=25 agent.idm_inference_steps=25 \
+  data.env_params.env.episode_len=150 \
+  horizon=9 obs_horizon=1 action_horizon=4 pred_horizon=8 batch_size=128 \
+  n_grad_steps=$STEPS warmup_steps=500 lr=3e-4 n_eval_episodes=64 \
+  eval_every=15000 save_every=15000 \
+  experiment_folder=$RUN experiment_name=ldp
