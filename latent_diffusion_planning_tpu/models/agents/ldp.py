@@ -45,6 +45,12 @@ _log = logging.getLogger(__name__)
 
 nonpytree_field = lambda **kw: flax.struct.field(pytree_node=False, **kw)
 
+# Max bf16 weight bytes the fused U-Net sampler may pin in VMEM. The kernel
+# runs under a 100 MB scoped-vmem limit shared with activations/stack; ~72 MB
+# of weights leaves headroom for the widest concat-skip activations at the
+# default batch tile (measured: 107 MB scoped usage at 146 MB weights OOMs).
+FUSED_WEIGHT_VMEM_BUDGET = 72 * 1024 * 1024
+
 
 def _pick_tile(n: int, cap: int) -> int:
     """Largest divisor of n that is <= cap (batch tiling for fused kernels)."""
@@ -88,6 +94,19 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
         _log.warning("fused %s sampler disabled — falling back to the XLA "
                      "scan sampler: %s", which, reason)
 
+    def _check_vmem(params, dd, which):
+        """The kernel keeps every weight VMEM-resident for the whole reverse
+        process (ops/pallas/diffusion_unet1d.py pallas_call w_specs), under a
+        100 MB scoped-vmem limit shared with activations. Reference-scale
+        down_dims [256,512,1024] is ~146 MB in bf16 and fails TPU compile
+        (scoped-vmem OOM), so oversized nets fall back to the XLA scan."""
+        wb = punet.unet1d_vmem_bytes(params, dd, jnp.bfloat16)
+        if wb > FUSED_WEIGHT_VMEM_BUDGET:
+            raise ValueError(
+                f"{which} weights {wb / 1e6:.0f} MB (bf16) exceed the "
+                f"{FUSED_WEIGHT_VMEM_BUDGET / 1e6:.0f} MB VMEM-resident "
+                f"budget; reduce down_dims or use the XLA sampler")
+
     if fuse and iparams is not None and idm_unet_cfg is not None:
         # hierarchical agent: the IDM is itself a ConditionalUnet1D
         try:
@@ -95,7 +114,7 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
             idd = tuple(icfg.get("down_dims", (256, 512, 1024)))
             if icfg.get("downsample", True) is False:
                 raise ValueError("fused chunk-IDM needs downsample=True")
-            punet.flatten_unet1d_params(iparams, idd)
+            _check_vmem(iparams, idd, "chunk-IDM U-Net")
             out.update(fused_idm_unet=True, idm_down_dims=idd,
                        idm_dsed=int(icfg.get("diffusion_step_embed_dim", 256)),
                        idm_n_groups=int(icfg.get("n_groups", 8)))
@@ -126,7 +145,7 @@ def resolve_fused(fused_sampler, planner_cfg, pparams, iparams,
             dd = tuple(pd.get("down_dims", (256, 512, 1024)))
             if pd.get("downsample", True) is False:
                 raise ValueError("fused planner needs downsample=True")
-            punet.flatten_unet1d_params(pparams, dd)
+            _check_vmem(pparams, dd, "planner U-Net")
             out.update(fused_planner=True, planner_down_dims=dd,
                        planner_dsed=int(pd.get("diffusion_step_embed_dim", 256)),
                        planner_n_groups=int(pd.get("n_groups", 8)))

@@ -141,7 +141,11 @@ def flatten_unet1d_params(params: Any, down_dims: Sequence[int],
 
 def unet1d_vmem_bytes(params: Any, down_dims: Sequence[int],
                       dtype=jnp.float32) -> int:
-    flat = flatten_unet1d_params(params, down_dims, dtype)
+    """Bytes of VMEM the fused kernel pins for weights (shape-only: the
+    flatten runs under eval_shape, so no arrays are materialized — but the
+    structure checks still fire, raising on unexpected pytrees)."""
+    flat = jax.eval_shape(
+        lambda p: flatten_unet1d_params(p, down_dims, dtype), params)
     return sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in flat)
 
 

@@ -72,6 +72,18 @@ class Workspace:
             snap = self.ckpt.restore_raw(self.cfg.snapshot_path)
             self.agent = apply_params_snapshot(
                 self.agent, snap, self.cfg.get("restore_keys"))
+        if self.cfg.get("resume"):
+            # bit-exact continuation from the newest <step>.state in this
+            # run's ckpt dir (the reference's hydra run-dir restore analogue,
+            # train_bc.py snapshot reload) — params, optimizer and EMA state
+            # all resume; the step counter picks up where training stopped.
+            states = self.ckpt.list_states()
+            if states:
+                latest = states[-1]
+                self.agent = self.ckpt.restore_state(latest, self.agent)
+                self.step = int(latest.name.split(".")[0])
+                self.logger.note(f"resumed full state @ {self.step} "
+                                 f"({latest.name})")
         self.agent = meshlib.replicate(self.agent, self.mesh)
         n_params = sum(x.size for x in jax.tree_util.tree_leaves(
             self.agent.get_params()))

@@ -17,6 +17,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[2]))
 import jax
 import numpy as np
 
+# Record on the SAME platform the tests replay on: the axon sitecustomize
+# force-selects the tunneled TPU regardless of JAX_PLATFORMS, and TPU-vs-CPU
+# drift over 50 contact steps (~4e-5) exceeds the replay tolerance.
+jax.config.update("jax_platforms", "cpu")
+assert jax.default_backend() == "cpu", jax.default_backend()
+
 OUT = Path(__file__).parent / "replay_golden.npz"
 
 

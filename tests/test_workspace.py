@@ -92,3 +92,17 @@ def test_workspace_full_cycle(workdir, tmp_path):
     import jax
     assert jax.tree_util.tree_structure(p1) == jax.tree_util.tree_structure(
         ws2.agent.planner_state.params)
+
+    # full-state resume: same run dir, resume=true picks up at the saved
+    # step (params + optimizer + EMA, the crash-recovery path)
+    cfg3 = _cfg(workdir, tmp_path)
+    cfg3["resume"] = True
+    cfg3["n_grad_steps"] = 6
+    cfg3["n_eval_episodes"] = 0
+    cfg3["eval_every"] = 1000
+    ws3 = Workspace(cfg3, tmp_path / "run")
+    ws3.run()
+    resumed_from = int(states[-1].name.split(".")[0])
+    assert ws3.step == 6, ws3.step
+    assert resumed_from > 0  # it really had a mid-run state to resume from
+    assert int(ws3.ckpt.list_states()[-1].name.split(".")[0]) >= resumed_from
