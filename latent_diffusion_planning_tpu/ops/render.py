@@ -184,7 +184,10 @@ def render_scene(scene: Scene, cam: Camera, height: int = 64,
     measured ~29x faster at 64x64 on a v5e chip)."""
     if backend == "pallas":
         from .pallas.raycast import render_pallas
-        return render_pallas(scene, cam, height, width)
+        # interpret off-TPU so `renderer="pallas"` configs run (slowly but
+        # correctly) on CPU — tests and golden-render fixtures included
+        return render_pallas(scene, cam, height, width,
+                             interpret=jax.default_backend() != "tpu")
     return render(scene, cam, height, width)
 
 

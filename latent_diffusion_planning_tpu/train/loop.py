@@ -204,16 +204,35 @@ class Workspace:
     def _make_env(self):
         """Eval env: the dataset's recorded env_meta wins when present
         (parity: reference train_bc.py:170-176 rebuilds the env from the
-        HDF5's env_args); the config's env_params.env is the fallback."""
+        HDF5's env_args); the config's env_params.env is the fallback.
+
+        The config's eval ``episode_len`` overrides the recorded one: the
+        reference evals with its own horizon (eval_bc.yaml / SIM_TASK_CONFIGS
+        400) regardless of the collection env's cap, and a recorded cap can
+        understate the task's needed time (a transfer-cube demo succeeds at
+        ~70 steps — an 80-step eval leaves a learned policy no slack, a
+        round-3 silent eval-protocol bug)."""
         if self._env is None:
+            ep = self.data.env_params.get("env", {}) or {}
+            overrides = {}
+            # env_params.env may be a config dict or an already-instantiated
+            # env (facades eagerly instantiate non-deferred targets)
+            eval_len = (ep.get("episode_len")
+                        if hasattr(ep, "get")
+                        else getattr(ep, "episode_len", None))
+            if eval_len is None:
+                eval_len = self.data.env_params.get("episode_len")
+            if eval_len:
+                overrides["episode_len"] = int(eval_len)
             env_meta = getattr(self.data, "env_meta", None)
             if env_meta and env_meta.get("env_name"):
                 try:
                     from ..envs.from_meta import make_env_from_meta
-                    self._env = make_env_from_meta(env_meta)
+                    self._env = make_env_from_meta(env_meta, **overrides)
                     self.logger.note(
                         f"eval env from dataset env_meta: "
-                        f"{env_meta['env_name']}")
+                        f"{env_meta['env_name']} "
+                        f"(episode_len {self._env.episode_len})")
                 except KeyError:
                     pass
             if self._env is None and self.data.env_params.get("env"):

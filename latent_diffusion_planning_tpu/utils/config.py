@@ -159,7 +159,13 @@ def load_config(
     root = Path(config_root) if config_root is not None else CONFIG_ROOT
     overrides = list(overrides or [])
 
-    top_path = root / f"{name}.yaml"
+    if name.endswith((".yaml", ".yml")):
+        # direct path to a (typically resolved, run-dir) config — the hydra
+        # rerun analogue: `train_bc.py --config experiments/<run>/config.yaml
+        # resume=true` relaunches a past experiment verbatim + overrides
+        top_path = Path(name)
+    else:
+        top_path = root / f"{name}.yaml"
     if not top_path.exists():
         raise ConfigError(f"no such config: {top_path}")
     cfg = _read_yaml(top_path)

@@ -33,6 +33,11 @@ def main(argv=None) -> None:
         env, cfg.n_episodes, rng, episode_len=cfg.get("episode_len"),
         noise=cfg.get("noise", 0.0))
     env_kwargs = {k: v for k, v in cfg.env.items() if k != "_target_"}
+    if cfg.get("episode_len"):
+        # the rollout override is the TRUE episode length of these demos —
+        # record it, or downstream eval envs rebuilt from env_args inherit
+        # a shorter cap than the demos they were trained on
+        env_kwargs["episode_len"] = int(cfg.episode_len)
     n = write_trajectories(
         cfg.out_path, out,
         env_meta={"env_name": type(env).__name__, "env_kwargs": env_kwargs},
