@@ -193,7 +193,8 @@ class LDPAgent(flax.struct.PyTreeNode):
         noisy = self.planner_sched.add_noise(target, noise, t)
         cond = obs_emb[:, :obs_horizon].reshape(B, -1)
         pred = self.planner_state.apply_fn({"params": params}, noisy, t, cond)
-        return jnp.mean(jnp.square(pred - noise))
+        return jnp.mean(jnp.square(
+            pred - self.planner_sched.training_target(target, noise, t)))
 
     def _idm_loss(self, params, rng, obs_emb, actions, obs_horizon):
         pairs = common.transition_pairs(obs_emb, obs_horizon)
@@ -203,7 +204,8 @@ class LDPAgent(flax.struct.PyTreeNode):
         noise = jax.random.normal(noise_rng, acts.shape)
         noisy = self.idm_sched.add_noise(acts, noise, t)
         pred = self.idm_state.apply_fn({"params": params}, pairs, noisy, t)
-        return jnp.mean(jnp.square(pred - noise))
+        return jnp.mean(jnp.square(
+            pred - self.idm_sched.training_target(acts, noise, t)))
 
     def _loss(self, params, batch, mixed_batch, rng, use_planner, use_idm,
               obs_horizon):
@@ -422,6 +424,33 @@ class LDPAgent(flax.struct.PyTreeNode):
         acts = acts.reshape(B, -1, self.config.action_dim)
         return nz.unnormalize_actions(acts, self.obs_normalization)
 
+    def sample_plan_stats(self, batch, rng):
+        """Sampled-plan MSE vs the window's true future (parity:
+        agent/ldp_agent.py:447 plan_mse, logged at offline eval).
+
+        Also reports the persistence baseline (repeat the current obs) and
+        the batch variance — a plan_mse far above target_var means the
+        reverse process is not contracting to the conditioned data manifold
+        (the round-3 ALOHA failure mode: 0.72 vs 0.015), which closed-loop
+        success would only reveal a full training run later."""
+        batch = jax.jit(self._prepare_eval_batch)(batch)
+        return self._sample_plan_stats_step(batch, rng)
+
+    @jax.jit
+    def _sample_plan_stats_step(self, batch, rng):
+        c = self.config
+        obs_emb = self._obs_cond(batch["obs"])
+        B = obs_emb.shape[0]
+        cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
+        target = obs_emb[:, c.obs_horizon:]
+        plan = self._plan(cond, rng, length=target.shape[1])
+        return {
+            "plan_mse": jnp.mean(jnp.square(plan - target)),
+            "plan_mse_persist": jnp.mean(jnp.square(
+                obs_emb[:, c.obs_horizon - 1:c.obs_horizon] - target)),
+            "plan_target_var": jnp.var(target),
+        }
+
     def sample(self, batch, rng):
         return self.sample_viz(batch, rng)
 
@@ -542,6 +571,8 @@ class LDPAgent(flax.struct.PyTreeNode):
                action_horizon: int = 4,
                planner_n_diffusion_steps: int = 100,
                idm_n_diffusion_steps: int = 100,
+               planner_prediction_type: str = "epsilon",
+               idm_prediction_type: str = "epsilon",
                planner_inference_steps: int | None = None,
                idm_inference_steps: int | None = None,
                alpha_planner: float = 1.0, alpha_idm: float = 1.0,
@@ -621,17 +652,23 @@ class LDPAgent(flax.struct.PyTreeNode):
 
         planner_sched = dlib.DiffusionSchedule.create(
             planner_n_diffusion_steps, "squaredcos_cap_v2",
-            prediction_type="epsilon", clip_sample=True)
+            prediction_type=planner_prediction_type, clip_sample=True)
         idm_sched = dlib.DiffusionSchedule.create(
             idm_n_diffusion_steps, "squaredcos_cap_v2",
-            prediction_type="epsilon", clip_sample=True)
+            prediction_type=idm_prediction_type, clip_sample=True)
 
+        # the fused Pallas coefficient tables assume ε-parameterization
+        # (ops/diffusion.py ddim/ddpm_coef_table) — non-ε nets use the XLA
+        # scans, whose predict_x0 handles every prediction type
         config = config.replace(
             fused_dtype=fused_dtype,
-            **resolve_fused(fused_sampler, planner,
-                            planner_state.params if use_planner else None,
-                            idm_state.params if use_idm else None,
-                            idm_mlp_cfg=idm_net))
+            **resolve_fused(
+                fused_sampler, planner,
+                (planner_state.params if use_planner
+                 and planner_prediction_type == "epsilon" else None),
+                (idm_state.params if use_idm
+                 and idm_prediction_type == "epsilon" else None),
+                idm_mlp_cfg=idm_net))
 
         return cls(planner_state=planner_state, idm_state=idm_state,
                    vae_params=vae_params, obs_normalization=stats,

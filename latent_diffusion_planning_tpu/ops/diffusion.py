@@ -117,6 +117,24 @@ class DiffusionSchedule(flax.struct.PyTreeNode):
         abar = self._abar(t, x0.ndim)
         return jnp.sqrt(abar) * noise - jnp.sqrt(1.0 - abar) * x0
 
+    def training_target(self, x0: jnp.ndarray, noise: jnp.ndarray,
+                        t: jnp.ndarray) -> jnp.ndarray:
+        """What the denoiser regresses to under this prediction type.
+
+        ``sample`` (x0-prediction) weights every timestep's target equally —
+        ε-prediction implicitly up-weights low-noise timesteps by
+        abar/(1-abar), which for hard high-dim targets (e.g. 256-dim wrist
+        latents) can trap the model in an unconditional basin: measured on
+        ALOHA, ε-loss plateaus at ~0.53 with the conditioning pathway
+        contributing <4% of output scale."""
+        if self.prediction_type == "epsilon":
+            return noise
+        if self.prediction_type == "sample":
+            return x0
+        if self.prediction_type == "v_prediction":
+            return self.velocity_target(x0, noise, t)
+        raise ValueError(f"unknown prediction_type {self.prediction_type!r}")
+
     # -- reverse steps ------------------------------------------------------
     def ddpm_step(self, model_out: jnp.ndarray, x_t: jnp.ndarray, t: jnp.ndarray,
                   rng: jax.Array) -> jnp.ndarray:

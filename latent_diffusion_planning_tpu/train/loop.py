@@ -167,6 +167,12 @@ class Workspace:
                 pass
             rng, sub = jax.random.split(rng)
             metrics = self.agent.get_metrics(batch, sub)
+            if hasattr(self.agent, "sample_plan_stats"):
+                # plan-level health (reference train_mixed_bc.py:161): a
+                # plan_mse >> plan_target_var flags a non-contracting
+                # planner long before closed-loop eval would
+                rng, sub = jax.random.split(rng)
+                metrics.update(self.agent.sample_plan_stats(batch, sub))
             self.logger.log_metrics(
                 {f"{split}_{k}": v for k, v in metrics.items()},
                 self.step, "eval")

@@ -198,3 +198,59 @@ def test_dp_vae_agent_with_random_shift():
     window = {"obs": {k: v[:, :1] for k, v in batch["obs"].items()}}
     acts, m = agent2.sample(window, jax.random.PRNGKey(2))
     assert acts.shape == (2, 2, 4)
+
+
+def test_ldp_sample_prediction_planner_trains_and_plans():
+    """x0-prediction planner: loss starts near target scale (no ε
+    amplification), training contracts it, sampled plans beat the
+    batch-mean baseline on a deterministic cond→future task, and
+    sample_plan_stats reports coherent numbers."""
+    import optax  # noqa: F401  (env sanity)
+
+    def batch_fn(key):
+        rng = np.random.default_rng(key)
+        # future latents = broadcast of the first frame (fully predictable
+        # from cond); lowdim wanders a little
+        z0 = rng.normal(size=(4, 1, 16)) * 0.3
+        z = np.repeat(z0, 9, axis=1)
+        return {
+            "obs": {
+                "robot0_eef_pos": jnp.asarray(
+                    rng.normal(size=(4, 9, 3)) * 0.05, jnp.float32),
+                "latent_agentview_image": jnp.asarray(z, jnp.float32),
+            },
+            "actions": jnp.asarray(
+                np.clip(rng.normal(size=(4, 9, 4)), -1, 1), jnp.float32),
+        }
+
+    agent = LDPAgent.create(
+        jax.random.PRNGKey(0), batch_fn(0), SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        idm_net={"_target_": MLPD, "n_blocks": 1, "hidden_dim": 32,
+                 "time_dim": 16},
+        vae=TINY_VAE, vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=8,
+        action_horizon=4, planner_n_diffusion_steps=8,
+        idm_n_diffusion_steps=8,
+        planner_prediction_type="sample",
+        lr=3e-3, warmup_steps=5, decay_steps=400)
+    assert agent.planner_sched.prediction_type == "sample"
+
+    rng = jax.random.PRNGKey(1)
+    first = None
+    for step in range(120):
+        rng, sub = jax.random.split(rng)
+        agent, m = agent.update(batch_fn(step % 4), sub, step)
+        if first is None:
+            first = float(m["plan_loss"])
+    last = float(m["plan_loss"])
+    assert last < first * 0.5, (first, last)
+
+    stats = agent.sample_plan_stats(batch_fn(1), jax.random.PRNGKey(2))
+    mse = float(stats["plan_mse"])
+    var = float(stats["plan_target_var"])
+    assert np.isfinite(mse) and var > 0
+    # the reverse process must contract from noise scale (var 1.0) to the
+    # data manifold's scale — the ALOHA ε-failure mode showed ~0.7 here
+    assert mse < 10 * var and mse < 0.05, (mse, var)

@@ -166,3 +166,38 @@ def test_velocity_target():
     x_t = sched.add_noise(x0, noise, t)
     rec = sched.predict_x0(v, x_t, t)
     np.testing.assert_allclose(np.asarray(rec), np.asarray(x0), atol=1e-5)
+
+
+def test_training_target_per_prediction_type():
+    from latent_diffusion_planning_tpu.ops import diffusion as dlib
+    import jax, jax.numpy as jnp
+    rng = jax.random.PRNGKey(0)
+    x0 = jax.random.normal(rng, (4, 6))
+    noise = jax.random.normal(jax.random.PRNGKey(1), (4, 6))
+    t = jnp.array([0, 3, 7, 9])
+    for ptype, expect in [("epsilon", noise), ("sample", x0)]:
+        s = dlib.DiffusionSchedule.create(10, prediction_type=ptype)
+        assert jnp.allclose(s.training_target(x0, noise, t), expect)
+    s = dlib.DiffusionSchedule.create(10, prediction_type="v_prediction")
+    assert jnp.allclose(s.training_target(x0, noise, t),
+                        s.velocity_target(x0, noise, t))
+
+
+def test_sample_prediction_ddim_recovers_x0():
+    """With a perfect x0-prediction denoiser, DDIM lands exactly on x0 —
+    locks the sample-parameterized reverse path (predict_x0 + ddim_step)."""
+    from latent_diffusion_planning_tpu.ops import diffusion as dlib
+    import jax, jax.numpy as jnp, numpy as np
+    sched = dlib.DiffusionSchedule.create(
+        50, prediction_type="sample", clip_sample=True)
+    x0_true = jnp.clip(
+        jax.random.normal(jax.random.PRNGKey(2), (8, 12)) * 0.3, -1, 1)
+
+    out = dlib.sample_ddim(sched, lambda x, t: x0_true,
+                           jax.random.PRNGKey(3), (8, 12), 10)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true),
+                               atol=1e-5)
+    out = dlib.sample_ddpm(sched, lambda x, t: x0_true,
+                           jax.random.PRNGKey(4), (8, 12))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0_true),
+                               atol=1e-4)
