@@ -106,7 +106,8 @@ class DPAgent(flax.struct.PyTreeNode):
         noisy = self.sched.add_noise(actions, noise, t)
         pred = self.planner_state.apply_fn({"params": params["planner"]},
                                            noisy, t, obs_emb)
-        loss = jnp.mean(jnp.square(pred - noise))
+        loss = jnp.mean(jnp.square(
+            pred - self.sched.training_target(actions, noise, t)))
         metrics = dict(loss=loss, obs_min=jnp.min(obs_emb),
                        obs_max=jnp.max(obs_emb), obs_mean=jnp.mean(obs_emb),
                        obs_std=jnp.std(obs_emb),
@@ -208,6 +209,7 @@ class DPAgent(flax.struct.PyTreeNode):
                lowdim_obs=(), rgb_obs=(), obs_normalization=None,
                obs_horizon: int = 1, pred_horizon: int = 16,
                action_horizon: int = 8, n_diffusion_steps: int = 100,
+               prediction_type: str = "epsilon",
                inference_steps: int | None = None,
                lr: float = 1e-4, end_lr: float = 1e-6,
                warmup_steps: int = 1000, decay_steps: int = 500_000,
@@ -259,7 +261,7 @@ class DPAgent(flax.struct.PyTreeNode):
 
         sched = dlib.DiffusionSchedule.create(n_diffusion_steps,
                                               "squaredcos_cap_v2",
-                                              prediction_type="epsilon",
+                                              prediction_type=prediction_type,
                                               clip_sample=True)
         from .ldp import resolve_fused
         config = FrozenConfig(
@@ -268,7 +270,9 @@ class DPAgent(flax.struct.PyTreeNode):
             action_horizon=action_horizon, action_dim=action_dim,
             shared_encoder=shared_encoder, inference_steps=inference_steps,
             use_ema=use_ema, fused_dtype=fused_dtype,
-            **resolve_fused(fused_sampler, planner, pparams, None))
+            **resolve_fused(fused_sampler, planner,
+                            pparams if prediction_type == "epsilon" else None,
+                            None))
         stats = nz.stats_to_arrays(obs_normalization)
         return cls(planner_state=planner_state, encoder_states=encoder_states,
                    obs_normalization=stats, sched=sched,

@@ -70,7 +70,8 @@ class DPVAEAgent(flax.struct.PyTreeNode):
         noisy = self.sched.add_noise(actions, noise, t)
         pred = self.planner_state.apply_fn({"params": params["planner"]},
                                            noisy, t, obs_emb)
-        loss = jnp.mean(jnp.square(pred - noise))
+        loss = jnp.mean(jnp.square(
+            pred - self.sched.training_target(actions, noise, t)))
         metrics = dict(loss=loss, obs_min=jnp.min(obs_emb),
                        obs_max=jnp.max(obs_emb), obs_mean=jnp.mean(obs_emb),
                        obs_std=jnp.std(obs_emb),
@@ -172,6 +173,7 @@ class DPVAEAgent(flax.struct.PyTreeNode):
                lowdim_obs=(), rgb_obs=(), obs_normalization=None,
                obs_horizon: int = 1, pred_horizon: int = 16,
                action_horizon: int = 8, n_diffusion_steps: int = 100,
+               prediction_type: str = "epsilon",
                inference_steps: int | None = None,
                lr: float = 1e-4, end_lr: float = 1e-6,
                warmup_steps: int = 1000, decay_steps: int = 500_000,
@@ -200,7 +202,7 @@ class DPVAEAgent(flax.struct.PyTreeNode):
                                              ema_decay=ema_decay)
         sched = dlib.DiffusionSchedule.create(n_diffusion_steps,
                                               "squaredcos_cap_v2",
-                                              prediction_type="epsilon",
+                                              prediction_type=prediction_type,
                                               clip_sample=True)
         from .ldp import resolve_fused
         config = FrozenConfig(
@@ -210,7 +212,9 @@ class DPVAEAgent(flax.struct.PyTreeNode):
             vae_feature_dim=vae_feature_dim, random_shift=random_shift,
             inference_steps=inference_steps, use_ema=use_ema,
             fused_dtype=fused_dtype,
-            **resolve_fused(fused_sampler, planner, pparams, None))
+            **resolve_fused(fused_sampler, planner,
+                            pparams if prediction_type == "epsilon" else None,
+                            None))
         stats = nz.stats_to_arrays(obs_normalization)
         return cls(planner_state=planner_state, vae_params=vae_params,
                    obs_normalization=stats, sched=sched, vae_def=vae_def,

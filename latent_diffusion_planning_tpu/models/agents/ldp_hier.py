@@ -43,7 +43,8 @@ class LDPHierAgent(LDPAgent):
         noisy = self.planner_sched.add_noise(target, noise, t)
         cond = obs_emb[:, :obs_horizon].reshape(B, -1)
         pred = self.planner_state.apply_fn({"params": params}, noisy, t, cond)
-        return jnp.mean(jnp.square(pred - noise))
+        return jnp.mean(jnp.square(
+            pred - self.planner_sched.training_target(target, noise, t)))
 
     def _idm_loss(self, params, rng, obs_emb, actions, obs_horizon):
         k = self.config.idm_horizon
@@ -61,7 +62,8 @@ class LDPHierAgent(LDPAgent):
         noise = jax.random.normal(noise_rng, acts.shape)
         noisy = self.idm_sched.add_noise(acts, noise, t)
         pred = self.idm_state.apply_fn({"params": params}, noisy, t, pairs)
-        return jnp.mean(jnp.square(pred - noise))
+        return jnp.mean(jnp.square(
+            pred - self.idm_sched.training_target(acts, noise, t)))
 
     # ------------------------------------------------------------------
     # inference (chunked IDM)
@@ -177,6 +179,8 @@ class LDPHierAgent(LDPAgent):
                action_horizon: int = 4,
                planner_n_diffusion_steps: int = 100,
                idm_n_diffusion_steps: int = 100,
+               planner_prediction_type: str = "epsilon",
+               idm_prediction_type: str = "epsilon",
                planner_inference_steps: int | None = None,
                idm_inference_steps: int | None = None,
                alpha_planner: float = 1.0, alpha_idm: float = 1.0,
@@ -255,17 +259,21 @@ class LDPHierAgent(LDPAgent):
 
         planner_sched = dlib.DiffusionSchedule.create(
             planner_n_diffusion_steps, "squaredcos_cap_v2",
-            prediction_type="epsilon", clip_sample=True)
+            prediction_type=planner_prediction_type, clip_sample=True)
         idm_sched = dlib.DiffusionSchedule.create(
             idm_n_diffusion_steps, "squaredcos_cap_v2",
-            prediction_type="epsilon", clip_sample=True)
+            prediction_type=idm_prediction_type, clip_sample=True)
 
+        # fused Pallas coef tables assume ε-parameterization (see ldp.py)
         config = config.replace(
             fused_dtype=fused_dtype,
-            **resolve_fused(fused_sampler, planner,
-                            planner_state.params if use_planner else None,
-                            idm_state.params if use_idm else None,
-                            idm_unet_cfg=idm_net))
+            **resolve_fused(
+                fused_sampler, planner,
+                (planner_state.params if use_planner
+                 and planner_prediction_type == "epsilon" else None),
+                (idm_state.params if use_idm
+                 and idm_prediction_type == "epsilon" else None),
+                idm_unet_cfg=idm_net))
 
         return cls(planner_state=planner_state, idm_state=idm_state,
                    vae_params=vae_params, obs_normalization=stats,

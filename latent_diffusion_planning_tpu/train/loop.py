@@ -30,6 +30,19 @@ from ..utils.timers import Every, Timer
 from .checkpoint import Checkpointer, apply_params_snapshot
 
 
+def _plain(obj: Any) -> Any:
+    """Stats pytree → yaml-serializable (arrays to lists, scalars native)."""
+    if isinstance(obj, dict):
+        return {k: _plain(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_plain(v) for v in obj]
+    if isinstance(obj, (np.ndarray, jnp.ndarray)):
+        return np.asarray(obj).tolist()
+    if isinstance(obj, (np.floating, np.integer)):
+        return obj.item()
+    return obj
+
+
 class Workspace:
     def __init__(self, cfg: Config, work_dir: str | Path | None = None):
         self.cfg = cfg
@@ -61,6 +74,13 @@ class Workspace:
             # yaml interpolation already resolved (data/datasets.py)
             agent_cfg["obs_normalization"] = self.data.meta[
                 "obs_normalization"]
+            # persist the EFFECTIVE bounds: anything that rebuilds this agent
+            # from the run dir (collect_data.py, bench.py, relaunch) must
+            # normalize exactly as training did — stale hand-written bounds
+            # in the saved config silently produce a garbage policy
+            self.cfg["agent"]["obs_normalization"] = _plain(
+                self.data.meta["obs_normalization"])
+            save_config(self.cfg, self.work_dir / "config.yaml")
         self.agent = instantiate(
             agent_cfg, rng, init_batch, self.data.shape_meta)
         if vae_snapshot_path:

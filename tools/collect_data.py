@@ -38,6 +38,12 @@ def load_agent_from_run(run_dir: Path, ckpt_name: str | None = None):
     batch = next(data.train_dataloader())
     agent_cfg = dict(run_cfg.agent)
     agent_cfg.pop("vae_pretrain_path", None)
+    if "obs_normalization" in agent_cfg:
+        # normalize exactly as training did: Workspace.init_agent swaps the
+        # config's hand-written bounds for the data facade's measured stats
+        # (and newer runs persist them back into config.yaml) — rebuilding
+        # with stale bounds silently yields a garbage policy
+        agent_cfg["obs_normalization"] = data.meta["obs_normalization"]
     agent = instantiate(agent_cfg, jax.random.PRNGKey(0), batch,
                         data.shape_meta)
 
