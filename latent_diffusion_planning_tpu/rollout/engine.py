@@ -245,7 +245,8 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
                         action_noise: float = 0.0,
                         policy_obs_keys: tuple[str, ...] | None = None,
                         add_optimal: bool = False,
-                        policy: PolicyFn = agent_sample_policy) -> dict:
+                        policy: PolicyFn = agent_sample_policy,
+                        host_loop: bool | None = None) -> dict:
     """Roll out a policy and return full (obs, action, reward, success)
     trajectories for dataset writing.
 
@@ -254,15 +255,80 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
     suboptimal data (:285-286). Episodes run to ``episode_len`` (no early
     stop) so trajectories are rectangular; success/filters are applied by the
     writer (tools/collect_data.py).
+
+    ``host_loop``: like run_scripted_collection — jit one decision (policy
+    + action_horizon env steps) and loop decisions in Python; identical
+    results, avoids XLA CPU's pathological whole-episode-scan compile.
+    Defaults to the fused scan on accelerators, host loop on CPU.
     """
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
+    if host_loop is None:
+        host_loop = jax.default_backend() == "cpu"
 
-    out = _collect_jit(env, policy, n_episodes, obs_horizon, action_horizon,
-                       episode_len, n_decisions,
-                       tuple(policy_obs_keys) if policy_obs_keys else None,
-                       add_optimal, float(action_noise), agent, rng)
+    if host_loop:
+        out = _collect_hostloop(env, policy, n_episodes, obs_horizon,
+                                action_horizon, n_decisions,
+                                tuple(policy_obs_keys) if policy_obs_keys
+                                else None, add_optimal, float(action_noise),
+                                agent, rng)
+    else:
+        out = _collect_jit(env, policy, n_episodes, obs_horizon,
+                           action_horizon, episode_len, n_decisions,
+                           tuple(policy_obs_keys) if policy_obs_keys
+                           else None, add_optimal, float(action_noise),
+                           agent, rng)
     return jax.device_get(out)
+
+
+def _collect_hostloop(env, policy, n_episodes, obs_horizon, action_horizon,
+                      n_decisions, policy_obs_keys, add_optimal,
+                      action_noise, agent, rng):
+    """Same decision body as _collect_jit, scanned on the host (same rng
+    tree → identical trajectories)."""
+    reset_rng, policy_rng = jax.random.split(rng)
+    states, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(reset_rng, n_episodes))
+    window = {k: jnp.repeat(v[:, None], obs_horizon, axis=1)
+              for k, v in obs.items()}
+
+    def policy_view(window):
+        view = ({k: window[k] for k in policy_obs_keys if k in window}
+                if policy_obs_keys else dict(window))
+        if add_optimal:
+            any_leaf = next(iter(window.values()))
+            view["optimal"] = jnp.ones((any_leaf.shape[0], obs_horizon, 1))
+        return view
+
+    @jax.jit
+    def decision(states, window, d_rng):
+        a_rng, n_rng = jax.random.split(d_rng)
+        actions = policy(agent, policy_view(window), a_rng)[:, :action_horizon]
+        if action_noise > 0:
+            actions = actions + action_noise * jax.random.normal(
+                n_rng, actions.shape)
+
+        def act(carry, a_t):
+            states, window = carry
+            new_states, new_obs, r, s = jax.vmap(env.step)(states, a_t)
+            window = _push_window(window, new_obs)
+            return (new_states, window), dict(obs=new_obs, action=a_t,
+                                              reward=r, success=s)
+
+        (states, window), ys = jax.lax.scan(act, (states, window),
+                                            jnp.swapaxes(actions, 0, 1))
+        return states, window, ys
+
+    frames = []
+    for d_rng in jax.random.split(policy_rng, n_decisions):
+        states, window, ys = decision(states, window, d_rng)
+        frames.append(jax.device_get(ys))
+    # each frame: (action_horizon, N, ...); concat time then to (N, T, ...)
+    cat = lambda *xs: np.swapaxes(np.concatenate(xs, axis=0), 0, 1)
+    traj = jax.tree_util.tree_map(cat, *frames)
+    return dict(obs=traj["obs"], actions=traj["action"],
+                rewards=traj["reward"], success=traj["success"],
+                first_obs=obs)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
@@ -317,17 +383,56 @@ def _collect_jit(env, policy, n_episodes, obs_horizon, action_horizon,
 
 def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
                             episode_len: int | None = None,
-                            noise: float = 0.0) -> dict:
+                            noise: float = 0.0,
+                            host_loop: bool | None = None) -> dict:
     """Roll out the env's built-in scripted expert (env.scripted_action).
 
     Device-side counterpart of scripted demo generation
     (collect_aloha_scripted_demos.py incl. its inject_noise option) — the
     expert runs inside the same jitted scan as the physics, so demo datasets
     regenerate in seconds.
+
+    ``host_loop``: jit one vmapped env step and loop timesteps in Python
+    instead of fusing the whole episode into a single lax.scan program.
+    Identical results (same rng tree); the scan is the TPU-first default,
+    but its one-giant-program compile is pathological on XLA *CPU* (a
+    96x60-step physics+render scan exceeded 45 min of compile on this
+    class of host vs ~2 min for the per-step program) — so CPU defaults to
+    the host loop.
     """
     episode_len = episode_len or env.episode_len
-    out = _scripted_jit(env, n_episodes, episode_len, float(noise), rng)
+    if host_loop is None:
+        host_loop = jax.default_backend() == "cpu"
+    if host_loop:
+        out = _scripted_hostloop(env, n_episodes, episode_len, float(noise),
+                                 rng)
+    else:
+        out = _scripted_jit(env, n_episodes, episode_len, float(noise), rng)
     return jax.device_get(out)
+
+
+def _scripted_hostloop(env, n_episodes, episode_len, noise, rng):
+    reset_rng, act_rng = jax.random.split(rng)
+    states, obs = jax.jit(jax.vmap(env.reset))(
+        jax.random.split(reset_rng, n_episodes))
+
+    @jax.jit
+    def step(states, t_rng):
+        a_rngs = jax.random.split(t_rng, n_episodes)
+        actions = jax.vmap(lambda s, r: env.scripted_action(s, r, noise))(
+            states, a_rngs)
+        new_states, new_obs, r, s = jax.vmap(env.step)(states, actions)
+        return new_states, dict(obs=new_obs, action=actions, reward=r,
+                                success=s)
+
+    frames = []
+    for t_rng in jax.random.split(act_rng, episode_len):
+        states, frame = step(states, t_rng)
+        frames.append(jax.device_get(frame))
+    stack = lambda *xs: np.stack(xs, axis=1)  # (N, T, ...)
+    traj = jax.tree_util.tree_map(stack, *frames)
+    return dict(first_obs=obs, obs=traj["obs"], actions=traj["action"],
+                rewards=traj["reward"], success=traj["success"])
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))

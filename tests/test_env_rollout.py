@@ -191,3 +191,53 @@ def test_blowup_containment():
     assert not np.asarray(out["per_episode"]["success"]).any()
     # rewards stop accumulating at the blow-up (4 finite steps of 1.0)
     np.testing.assert_allclose(np.asarray(out["per_episode"]["reward"]), 4.0)
+
+
+def test_scripted_collection_hostloop_matches_scan():
+    """host_loop=True consumes the same rng tree as the fused scan — byte-
+    identical trajectories (the CPU-compile escape hatch must not change
+    data)."""
+    import numpy as np
+    from latent_diffusion_planning_tpu.envs.lift import LiftEnv
+    from latent_diffusion_planning_tpu.rollout import engine
+
+    env = LiftEnv(image_size=16, render_images=True, episode_len=8)
+    rng = jax.random.PRNGKey(5)
+    a = engine.run_scripted_collection(env, 3, rng, episode_len=8,
+                                       host_loop=False)
+    b = engine.run_scripted_collection(env, 3, rng, episode_len=8,
+                                       host_loop=True)
+    for k in ("actions", "rewards", "success"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+    for k in a["obs"]:
+        np.testing.assert_allclose(a["obs"][k], b["obs"][k], atol=1e-5,
+                                   err_msg=k)
+
+
+def test_data_collection_hostloop_matches_scan():
+    """run_data_collection host loop consumes the same rng tree as the
+    fused scan (policy + action-noise draws included)."""
+    import numpy as np
+    from latent_diffusion_planning_tpu.envs.lift import LiftEnv
+    from latent_diffusion_planning_tpu.rollout import engine
+
+    env = LiftEnv(image_size=16, render_images=False, episode_len=8)
+
+    def policy(agent, view, rng):
+        n = view["robot0_eef_pos"].shape[0]
+        base = -view["robot0_eef_pos"][:, -1]  # drive toward origin
+        acts = jnp.concatenate(
+            [base, jnp.zeros((n, 4))], axis=-1)[:, None, :]
+        return jnp.tile(acts, (1, 4, 1))
+
+    kw = dict(obs_horizon=2, action_horizon=4, episode_len=8,
+              action_noise=0.1, policy=policy)
+    a = engine.run_data_collection(env, None, 3, jax.random.PRNGKey(7),
+                                   host_loop=False, **kw)
+    b = engine.run_data_collection(env, None, 3, jax.random.PRNGKey(7),
+                                   host_loop=True, **kw)
+    for k in ("actions", "rewards", "success"):
+        np.testing.assert_allclose(a[k], b[k], atol=1e-6, err_msg=k)
+    for k in a["obs"]:
+        np.testing.assert_allclose(a["obs"][k], b["obs"][k], atol=1e-5,
+                                   err_msg=k)

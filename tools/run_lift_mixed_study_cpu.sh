@@ -19,7 +19,7 @@ if [ ! -f $DD/demos.hdf5 ]; then
 python tools/collect_demos.py env.image_size=16 env.episode_len=60 \
   episode_len=60 n_episodes=96 out_path=$DD/demos.hdf5 seed=0
 python tools/collect_demos.py env.image_size=16 env.episode_len=60 \
-  episode_len=60 n_episodes=96 max_demos=24 out_path=$DD/demos_eval.hdf5 seed=77
+  episode_len=60 n_episodes=28 max_demos=24 out_path=$DD/demos_eval.hdf5 seed=77
 fi
 
 VAE_ARGS="block_out_channels=[8,8,8] norm_groups=4 use_mid_attention=false"
