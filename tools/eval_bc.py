@@ -60,12 +60,22 @@ def main(argv=None) -> None:
         (k[len("latent_"):] if k.startswith("latent_") else k)
         for k in meta["rgb_obs"] if k != "optimal"])
 
+    # Optional separate IDM checkpoint (reference eval_bc.py:98-99:
+    # cfg.idm_path overrides the swept checkpoints' IDM params) — lets a
+    # planner sweep ride a fixed, separately-trained inverse-dynamics model.
+    idm_snapshot = None
+    if cfg.get("idm_snapshot_path"):
+        idm_snapshot = ckpt.restore_raw(Path(cfg.idm_snapshot_path))
+
     rng = jax.random.PRNGKey(cfg.get("seed", 1111111))
     train_iter = data.train_dataloader()
     eval_iter = data.eval_dataloader()
     for path in ckpt.list_checkpoints():
         step = int(path.name.split(".")[0])
         agent = apply_params_snapshot(base_agent, ckpt.restore_raw(path))
+        if idm_snapshot is not None:
+            agent = apply_params_snapshot(agent, idm_snapshot,
+                                          restore_keys=["idm_params"])
 
         for split, it in (("train", train_iter), ("eval", eval_iter)):
             b = next(it)

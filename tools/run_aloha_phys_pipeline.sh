@@ -6,7 +6,12 @@
 #     rigid-body engine, contact-event rewards — envs/aloha_cube.py),
 #   - 256-dim VAE latents (reference SD-VAE capacity: 8x8x4) instead of 16,
 #   - qpos/action/latent normalization bounds measured from the demos
-#     (stats_from_data), the reference's measured-table protocol.
+#     (stats_from_data), the reference's measured-table protocol,
+#   - x0(sample)-prediction planner (the round-3 root-cause fix: ε-loss on
+#     256-dim latent plans converges to an unconditional basin — RESULTS.md),
+#   - eval episode_len 400 (reference SIM_TASK_CONFIGS protocol,
+#     aloha_constants.py:5-33) so a policy that executes the transfer more
+#     slowly than the 150-step scripted expert still gets scored.
 set -e
 cd "$(dirname "$0")/.."
 RUN=${RUN:-aloha_phys}
@@ -14,7 +19,7 @@ STEPS=${STEPS:-60000}
 ENV=latent_diffusion_planning_tpu.envs.aloha_cube.AlohaTransferCubeEnv
 DATA=datasets/aloha_cube_phys
 python tools/collect_demos.py env._target_=$ENV \
-  n_episodes=128 episode_len=150 out_path=$DATA/demos.hdf5 seed=0
+  n_episodes=256 episode_len=150 out_path=$DATA/demos.hdf5 seed=0
 python tools/collect_demos.py env._target_=$ENV \
   n_episodes=32 episode_len=150 out_path=$DATA/demos_eval.hdf5 seed=77
 python tools/train_vae.py data=aloha_cube/wrist \
@@ -36,10 +41,11 @@ python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
   agent.vae_pretrain_path=experiments/$RUN/vae/ckpt/4000.ckpt \
   agent.vae_feature_dim=256 \
   'agent.planner.down_dims=[128,256,512]' \
+  agent.planner_prediction_type=sample \
   agent.planner_n_diffusion_steps=50 agent.idm_n_diffusion_steps=50 \
   agent.planner_inference_steps=25 agent.idm_inference_steps=25 \
-  data.env_params.env.episode_len=150 \
+  data.env_params.env.episode_len=400 \
   horizon=9 obs_horizon=1 action_horizon=4 pred_horizon=8 batch_size=128 \
   n_grad_steps=$STEPS warmup_steps=500 lr=3e-4 n_eval_episodes=64 \
-  eval_every=15000 save_every=15000 \
+  eval_every=10000 save_every=10000 \
   experiment_folder=$RUN experiment_name=ldp

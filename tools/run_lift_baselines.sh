@@ -1,0 +1,59 @@
+#!/bin/bash
+# Baseline-agent comparison on the physics Lift task — the reference's
+# agent surface (agent/dp_agent.py, agent/dp_repr_agent.py,
+# agent/ldp_hier_agent.py) trained end-to-end on the same artifacts as the
+# LDP pipeline (tools/run_lift_pipeline.sh must have completed first:
+# datasets/lift/* + experiments/pipeline3/vae).
+#
+# Budgets are reduced vs the reference's 500k (the device Lift task trains
+# to ceiling at 30k — RESULTS.md); network scale mirrors the LDP pipeline
+# ([64,128,256] U-Nets, DDPM-50 train / DDIM-25 eval).
+set -e
+cd "$(dirname "$0")/.."
+RUN=${RUN:-baselines}
+STEPS=${STEPS:-30000}
+
+VAE="experiments/pipeline3/vae/ckpt/4000.ckpt"
+VAE_ARGS="model_vae.block_out_channels=[64,128,128,128] model_vae.patch_size=4 model_vae.norm_groups=16"
+
+COMMON="data.env_params.env.episode_len=80
+  horizon=9 obs_horizon=1 action_horizon=4 pred_horizon=8 batch_size=128
+  warmup_steps=200 lr=3e-4 n_eval_episodes=64
+  experiment_folder=$RUN"
+
+# 1. Diffusion Policy from raw pixels (trained ResNet-18 encoder end-to-end)
+python tools/train_bc.py agent=dp_agent data=lift/img \
+  'agent.planner.down_dims=[64,128,256]' \
+  agent.n_diffusion_steps=50 agent.inference_steps=25 \
+  n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  $COMMON experiment_name=dp
+
+# 2. DP over frozen VAE latents
+python tools/train_bc.py agent=dp_repr_agent data=lift/latent_img \
+  $VAE_ARGS agent.vae_pretrain_path=$VAE \
+  'agent.planner.down_dims=[64,128,256]' \
+  agent.n_diffusion_steps=50 agent.inference_steps=25 \
+  n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  $COMMON experiment_name=dp_vae
+
+# 3. Hierarchical LDP (strided planner + chunk-decoding U-Net IDM)
+python tools/train_bc.py agent=ldp_hier_agent data=lift/latent_img \
+  $VAE_ARGS agent.vae_pretrain_path=$VAE \
+  'agent.planner.down_dims=[64,128,256]' \
+  'agent.idm_net.down_dims=[64,128]' \
+  agent.planner_n_diffusion_steps=50 agent.idm_n_diffusion_steps=50 \
+  agent.planner_inference_steps=25 agent.idm_inference_steps=25 \
+  idm_horizon=4 \
+  n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  $COMMON experiment_name=ldp_hier
+
+python - <<'PYEOF'
+import csv, glob
+print("== baseline results ==")
+for f in sorted(glob.glob("experiments/baselines/*/eval.csv")):
+    rows = list(csv.DictReader(open(f)))
+    if rows:
+        r = rows[-1]
+        print(f"{f.split('/')[-2]:>10}: success {r.get('success')} "
+              f"@ step {r.get('step')}")
+PYEOF
