@@ -201,3 +201,35 @@ def arm_scene_prims(chain: K.JointChain, arm: ArmState, color):
     sizes.append(jnp.asarray([h[0], gw, 0.015]))
     color_arr = jnp.tile(jnp.asarray(color, jnp.float32), (4, 1))
     return (jnp.stack(pos), jnp.stack(rots), jnp.stack(sizes), color_arr)
+
+
+def arm_scene_prims_kdop(chain: K.JointChain, arm: ArmState, color):
+    """Mesh-accurate arm prims: 9 convex polytopes (k-DOP hulls of the actual
+    ViperX STL link meshes, envs/aloha_kdops.py generated by
+    tools/fit_kdops.py) posed at the FK link frames — base, six joint-driven
+    links, and the two prismatic fingers sliding ±y in the gripper frame
+    (vx300s_left.xml finger joints, range FINGER_SLIDE).
+
+    Returns (pos (9,3), rot (9,3,3), size (9,3) [unused OBB placeholder],
+    color (9,3), planes (9,K,4)) for ops/render.Scene kind=2 prims.
+    """
+    from .aloha_kdops import ARM_KDOPS, FINGER_SLIDE
+    ps, qs = K.fk(chain, arm.qpos)
+    pos = [chain.base_pos]
+    quats = [chain.base_quat]
+    for j in range(6):                      # shoulder .. gripper_link frames
+        pos.append(ps[j])
+        quats.append(qs[j])
+    # fingers ride the gripper frame: body offset 0.0687 x, slide along ±y
+    # (grip 0 = closed = inner limit, 1 = open = outer limit)
+    y = FINGER_SLIDE[0] + arm.grip * (FINGER_SLIDE[1] - FINGER_SLIDE[0])
+    g_pos, g_quat = ps[5], qs[5]
+    for sign in (1.0, -1.0):
+        pos.append(g_pos + rot.quat_rotate(
+            g_quat, jnp.asarray([0.0687, 0.0, 0.0]).at[1].set(sign * y)))
+        quats.append(g_quat)
+    rots = jnp.stack([rot.quat_to_matrix(q) for q in quats])
+    planes = jnp.asarray(ARM_KDOPS)
+    color_arr = jnp.tile(jnp.asarray(color, jnp.float32), (9, 1))
+    return (jnp.stack(pos), rots, jnp.ones((9, 3), jnp.float32), color_arr,
+            planes)

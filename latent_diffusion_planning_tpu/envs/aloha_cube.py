@@ -105,16 +105,24 @@ class AlohaTransferCubeEnv:
     def __init__(self, image_size: int = 64, render_images: bool = True,
                  episode_len: int = 400, renderer: str = "xla",
                  camera_names: tuple = ("wrist64",),
-                 n_substeps: int = 10, dt: float = 0.002):
+                 n_substeps: int = 10, dt: float = 0.002,
+                 mesh_mode: str = "box"):
         """``camera_names`` selects the observed cameras (reference surface:
         wrist64 + top/angle/front_close/left_pillar, alohasim_env.py:102-114
-        — static ones render at their reference resolutions)."""
+        — static ones render at their reference resolutions).
+
+        ``mesh_mode``: "box" renders 4-box arm approximations (round-2
+        visuals, matches committed checkpoints); "kdop" renders mesh-accurate
+        convex hulls of the actual ViperX STL links
+        (aloha_base.arm_scene_prims_kdop)."""
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
         self.renderer = renderer
         self.camera_names = tuple(camera_names)
         self.n_substeps = n_substeps
+        self.mesh_mode = mesh_mode
+        self.n_convex = 18 if mesh_mode == "kdop" else 0
         self.world = _make_world()
         self.params = ph.PhysicsParams(dt=dt, mu=1.5, kt=2000.0)
 
@@ -211,10 +219,39 @@ class AlohaTransferCubeEnv:
                                    self.image_size)
             for name, (cam, (h, w)) in views.items():
                 out[f"{name}_image"] = R.render_scene(
-                    scene, cam, h, w, backend=self.renderer)
+                    scene, cam, h, w, backend=self.renderer,
+                    n_convex=self.n_convex)
         return out
 
     def scene(self, state: AlohaCubeState) -> R.Scene:
+        if self.mesh_mode == "kdop":
+            # mesh-accurate: 18 convex STL hulls FIRST (render_scene's
+            # static n_convex contract), then cube box + pad spheres
+            lp, lr, ls, lc, lpl = B.arm_scene_prims_kdop(
+                B.LEFT_CHAIN, state.left, (0.25, 0.25, 0.35))
+            rp, rr, rs, rc, rpl = B.arm_scene_prims_kdop(
+                B.RIGHT_CHAIN, state.right, (0.2, 0.3, 0.2))
+            pads = state.bodies.pos[1:]
+            n_planes = lpl.shape[1]
+            pad_rows = jnp.zeros((5, n_planes, 4), jnp.float32
+                                 ).at[:, :, 3].set(1.0)
+            return R.Scene(
+                pos=jnp.concatenate([lp, rp, state.bodies.pos[CUBE][None],
+                                     pads]),
+                rot=jnp.concatenate([
+                    lr, rr, rot.quat_to_matrix(state.bodies.quat[CUBE])[None],
+                    jnp.tile(jnp.eye(3)[None], (4, 1, 1))]),
+                size=jnp.concatenate([ls, rs, jnp.full((1, 3), CUBE_HALF),
+                                      jnp.full((4, 3), PAD_RADIUS)]),
+                color=jnp.concatenate([lc, rc, jnp.asarray([[0.85, 0.1, 0.1]]),
+                                       jnp.tile(
+                                           jnp.asarray([[0.15, 0.15, 0.18]]),
+                                           (4, 1))]),
+                kind=jnp.concatenate([jnp.full((18,), 2, jnp.int32),
+                                      jnp.zeros((1,), jnp.int32),
+                                      jnp.ones((4,), jnp.int32)]),
+                plane_z=jnp.asarray(B.TABLE_Z, jnp.float32),
+                planes=jnp.concatenate([lpl, rpl, pad_rows]))
         lp, lr, ls, lc = B.arm_scene_prims(B.LEFT_CHAIN, state.left,
                                            (0.25, 0.25, 0.35))
         rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
@@ -237,7 +274,8 @@ class AlohaTransferCubeEnv:
     def render(self, state: AlohaCubeState) -> jnp.ndarray:
         cam = B.wrist64_camera(state.right)
         return R.render_scene(self.scene(state), cam, self.image_size,
-                              self.image_size, backend=self.renderer)
+                              self.image_size, backend=self.renderer,
+                              n_convex=self.n_convex)
 
     def get_state(self, state: AlohaCubeState):
         return state

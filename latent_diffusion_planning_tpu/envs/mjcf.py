@@ -340,3 +340,114 @@ def static_scene_prims(model: MJCFModel) -> list[dict]:
                 prims.append(dict(pos=body.pos + g.pos, half=g.size,
                                   rgba=g.rgba, name=g.name))
     return prims
+
+
+# ---------------------------------------------------------------------------
+# mesh-accurate convex fitting: k-DOPs for the ray-cast renderer
+# ---------------------------------------------------------------------------
+# The renderer's mesh mode (ops/render.Scene kind=2) intersects rays with
+# convex polytopes given as body-frame half-space sets. A k-DOP (discrete
+# oriented polytope) is the tightest such set over a fixed direction family:
+# for each unit direction n, offset d = max over mesh vertices of n·v. With
+# K=26 directions (axes, edges, corners of a cube) robot-link silhouettes at
+# 64×64 are close to the true mesh while keeping the per-ray cost fixed and
+# XLA/Pallas-friendly (static shapes, pure VPU math). Reference parity:
+# MuJoCo renders the actual STL triangles through EGL
+# (envs/robosuite_env.py:42-48); at the 64-pixel policy-input resolution the
+# k-DOP hull is visually near-identical and ~100× cheaper than per-triangle
+# intersection.
+
+
+def kdop_directions(k: int = 26) -> np.ndarray:
+    """The standard k-DOP direction family: 6 axis, 12 edge, 8 corner
+    directions of the unit cube (k ∈ {6, 18, 26} supported), unit-norm."""
+    axes = [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1],
+            [0, 0, -1]]
+    edges = [[sx, sy, 0] for sx in (1, -1) for sy in (1, -1)] + \
+            [[sx, 0, sz] for sx in (1, -1) for sz in (1, -1)] + \
+            [[0, sy, sz] for sy in (1, -1) for sz in (1, -1)]
+    corners = [[sx, sy, sz] for sx in (1, -1) for sy in (1, -1)
+               for sz in (1, -1)]
+    if k == 6:
+        dirs = axes
+    elif k == 18:
+        dirs = axes + edges
+    elif k == 26:
+        dirs = axes + edges + corners
+    else:
+        raise ValueError(f"k-DOP family must be 6/18/26, got {k}")
+    d = np.asarray(dirs, np.float64)
+    return (d / np.linalg.norm(d, axis=-1, keepdims=True)).astype(np.float32)
+
+
+def stl_vertices(path: str | Path) -> np.ndarray:
+    """All (deduplicated) vertices of a binary STL mesh, (V, 3) float32."""
+    raw = Path(path).read_bytes()
+    n = struct.unpack_from("<I", raw, 80)[0]
+    tri = np.frombuffer(raw, np.uint8, n * 50, 84)
+    tri = tri.reshape(n, 50)[:, :48].copy().view(np.float32).reshape(n, 12)
+    verts = tri[:, 3:].reshape(-1, 3)
+    return np.unique(verts, axis=0)
+
+
+def fit_kdop(verts: np.ndarray, dirs: np.ndarray | None = None) -> np.ndarray:
+    """Fit a k-DOP to a vertex cloud → (K, 4) half-space rows (n, d):
+    inside ⇔ n·x ≤ d. Plug into ops/render.Scene.planes (kind=2)."""
+    if dirs is None:
+        dirs = kdop_directions(26)
+    offs = (verts[None, :, :] * dirs[:, None, :]).sum(-1).max(axis=1)
+    return np.concatenate([dirs, offs[:, None]], axis=-1).astype(np.float32)
+
+
+def _quat_mat_np(q: np.ndarray) -> np.ndarray:
+    """wxyz quaternion → 3×3 rotation matrix (numpy, host-side)."""
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+    ])
+
+
+def body_kdops(xml_path: str | Path, body_names: list[str],
+               dirs: np.ndarray | None = None) -> dict[str, np.ndarray]:
+    """Per-body k-DOPs over each body's mesh-geom vertices (body frame).
+
+    Walks the (include-resolved) MJCF, loads every referenced STL's vertex
+    cloud, transforms it by the geom's pos/quat/scale into the owning body's
+    frame, and fits one k-DOP per requested body over the union of its mesh
+    geoms. Bodies without mesh geoms are omitted.
+    """
+    if dirs is None:
+        dirs = kdop_directions(26)
+    xml_path = Path(xml_path)
+    root = _resolve_includes(xml_path)
+    mesh_files: dict[str, tuple[Path, np.ndarray]] = {}
+    for mesh in root.iter("mesh"):
+        name = mesh.get("name") or Path(mesh.get("file")).stem
+        mesh_files[name] = (xml_path.parent / mesh.get("file"),
+                            _floats(mesh.get("scale"), np.ones(3)))
+    vert_cache: dict[str, np.ndarray] = {}
+    out: dict[str, np.ndarray] = {}
+    want = set(body_names)
+    for body in root.iter("body"):
+        name = body.get("name") or ""
+        if name not in want:
+            continue
+        clouds = []
+        for g in body.findall("geom"):
+            if g.get("type") != "mesh" or g.get("mesh") not in mesh_files:
+                continue
+            mesh_name = g.get("mesh")
+            if mesh_name not in vert_cache:
+                f, scale = mesh_files[mesh_name]
+                if not f.exists():
+                    continue
+                vert_cache[mesh_name] = stl_vertices(f) * scale
+            v = vert_cache[mesh_name]
+            rot_g = _quat_mat_np(_elem_quat(g))
+            pos_g = _floats(g.get("pos"), np.zeros(3))
+            clouds.append(v @ rot_g.T + pos_g)
+        if clouds:
+            out[name] = fit_kdop(np.concatenate(clouds, axis=0), dirs)
+    return out

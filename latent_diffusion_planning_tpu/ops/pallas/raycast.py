@@ -48,9 +48,16 @@ def _pack_scene(scene: R.Scene) -> jnp.ndarray:
     return flat.astype(jnp.float32)
 
 
-def _render_kernel(n_prims: int, plane_params_ref, scene_ref, origin_ref,
-                   dirs_ref, out_ref):
-    """One pixel band, channels-first: dirs (3, TILE_H, W) → rgb (3, T, W)."""
+def _render_kernel(n_prims: int, n_convex: int, n_planes: int,
+                   plane_params_ref, scene_ref, origin_ref,
+                   dirs_ref, out_ref, *maybe_hs_ref):
+    """One pixel band, channels-first: dirs (3, TILE_H, W) → rgb (3, T, W).
+
+    Prims [0, n_convex) are convex polytopes (mesh-accurate k-DOPs): their
+    body-frame half-spaces live in ``maybe_hs_ref[0]`` as (P, n_planes*4)
+    rows and replace the slab/quadric test with a generalized slab loop.
+    """
+    hs_ref = maybe_hs_ref[0] if n_convex else None
     dx = dirs_ref[0, :, :]
     dy = dirs_ref[1, :, :]
     dz = dirs_ref[2, :, :]
@@ -96,6 +103,50 @@ def _render_kernel(n_prims: int, plane_params_ref, scene_ref, origin_ref,
         d_b = [rot[0, 0] * dx + rot[1, 0] * dy + rot[2, 0] * dz,
                rot[0, 1] * dx + rot[1, 1] * dy + rot[2, 1] * dz,
                rot[0, 2] * dx + rot[1, 2] * dy + rot[2, 2] * dz]
+
+        if p < n_convex:
+            # generalized slab test over the prim's k-DOP half-spaces;
+            # o_b is a scalar triple, d_b a vector triple → t_k is a vector
+            hs = hs_ref[p, :]
+            t_near = jnp.full_like(dx, -BIG)
+            t_far = jnp.full_like(dx, BIG)
+            n_best = [jnp.zeros_like(dx), jnp.zeros_like(dx),
+                      jnp.zeros_like(dx)]
+            for k in range(n_planes):
+                nx_k, ny_k, nz_k = hs[4 * k], hs[4 * k + 1], hs[4 * k + 2]
+                off_k = hs[4 * k + 3]
+                ndotd = nx_k * d_b[0] + ny_k * d_b[1] + nz_k * d_b[2]
+                ndoto = nx_k * o_b[0] + ny_k * o_b[1] + nz_k * o_b[2]
+                para = jnp.abs(ndotd) < 1e-9
+                t_k = (off_k - ndoto) / jnp.where(para, 1e-9, ndotd)
+                entering = (ndotd < 0) & ~para
+                take = entering & (t_k > t_near)
+                n_best = [jnp.where(take, c, n) for c, n in
+                          zip((nx_k, ny_k, nz_k), n_best)]
+                t_near = jnp.where(take, t_k, t_near)
+                t_far = jnp.where(~entering & ~para,
+                                  jnp.minimum(t_far, t_k), t_far)
+                # parallel outside a half-space → no intersection
+                t_near = jnp.where(para & (ndoto > off_k), BIG, t_near)
+            hit_c = (t_near <= t_far) & (t_far > 1e-4)
+            t_p = jnp.where(t_near > 1e-4, t_near, t_far)
+            t_p = jnp.where(hit_c, t_p, BIG)
+            # body normal → world
+            n_p = [rot[0, 0] * n_best[0] + rot[0, 1] * n_best[1]
+                   + rot[0, 2] * n_best[2],
+                   rot[1, 0] * n_best[0] + rot[1, 1] * n_best[1]
+                   + rot[1, 2] * n_best[2],
+                   rot[2, 0] * n_best[0] + rot[2, 1] * n_best[1]
+                   + rot[2, 2] * n_best[2]]
+            closer = t_p < best_t
+            best_t = jnp.where(closer, t_p, best_t)
+            best_nx = jnp.where(closer, n_p[0], best_nx)
+            best_ny = jnp.where(closer, n_p[1], best_ny)
+            best_nz = jnp.where(closer, n_p[2], best_nz)
+            best_r = jnp.where(closer, cr, best_r)
+            best_g = jnp.where(closer, cg, best_g)
+            best_b = jnp.where(closer, cb, best_b)
+            continue
 
         # box slab test
         t_near = jnp.full_like(dx, -BIG)
@@ -170,8 +221,15 @@ def _render_kernel(n_prims: int, plane_params_ref, scene_ref, origin_ref,
 
 
 def render_pallas(scene: R.Scene, cam: R.Camera, height: int = 64,
-                  width: int = 64, interpret: bool = False) -> jnp.ndarray:
-    """Render one scene with the tiled kernel → (H, W, 3) float32 [0, 255]."""
+                  width: int = 64, interpret: bool = False,
+                  n_convex: int = 0) -> jnp.ndarray:
+    """Render one scene with the tiled kernel → (H, W, 3) float32 [0, 255].
+
+    ``n_convex`` (static) marks prims [0, n_convex) as convex polytopes whose
+    half-spaces come from ``scene.planes`` (mesh-accurate mode). The caller
+    must order convex prims first; remaining prims dispatch box/sphere on
+    ``kind`` as before.
+    """
     dirs = R._camera_rays(cam, height, width).astype(jnp.float32)
     dirs = jnp.moveaxis(dirs, -1, 0)           # (3, H, W) channels-first
     origin = jnp.broadcast_to(cam.pos.astype(jnp.float32), (1, 3))
@@ -183,28 +241,42 @@ def render_pallas(scene: R.Scene, cam: R.Camera, height: int = 64,
     n_tiles = height // TILE_H
     assert height % TILE_H == 0
 
-    kernel = functools.partial(_render_kernel, n_prims)
+    extra = []
+    n_planes = 0
+    if n_convex:
+        assert scene.planes is not None, "n_convex > 0 needs scene.planes"
+        n_planes = scene.planes.shape[1]
+        extra = [scene.planes.reshape(n_prims, n_planes * 4).astype(
+            jnp.float32)]
+
+    in_specs = [
+        pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((n_prims, 22), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((3, TILE_H, width), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec((n_prims, n_planes * 4), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM)
+        for _ in extra
+    ]
+    kernel = functools.partial(_render_kernel, n_prims, n_convex, n_planes)
     out = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
-        in_specs=[
-            pl.BlockSpec((1, 4), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((n_prims, 22), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3), lambda i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((3, TILE_H, width), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((3, TILE_H, width), lambda i: (0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, height, width), jnp.float32),
         interpret=interpret,
-    )(plane, packed, origin, dirs)
+    )(plane, packed, origin, dirs, *extra)
     # back to HWC for obs-surface parity
     return jnp.moveaxis(out, 0, -1)
 
 
 def render_batch_pallas(scenes: R.Scene, cam: R.Camera, height: int = 64,
-                        width: int = 64, interpret: bool = False) -> jnp.ndarray:
+                        width: int = 64, interpret: bool = False,
+                        n_convex: int = 0) -> jnp.ndarray:
     return jax.vmap(lambda s: render_pallas(s, cam, height, width,
-                                            interpret))(scenes)
+                                            interpret, n_convex))(scenes)

@@ -29,8 +29,15 @@ BIG = 1e9
 class Scene(flax.struct.PyTreeNode):
     """Batched primitive soup (leading axis = primitive index).
 
-    kind: 0 = box (half-extents in size), 1 = sphere (radius in size[0]).
+    kind: 0 = box (half-extents in size), 1 = sphere (radius in size[0]),
+    2 = convex polytope (body-frame half-spaces in ``planes``; mesh-accurate
+    rendering — k-DOPs fitted to the reference STL vertices, envs/mjcf.py).
     The ground plane is implicit (z = plane_z).
+
+    ``planes`` is None for primitive-only scenes, else (P, K, 4) rows
+    (nx, ny, nz, d) meaning inside ⇔ n·x ≤ d in the body frame. Padding rows
+    are (0, 0, 0, 1): always satisfied, constrain nothing. Rows are ignored
+    for kind ≠ 2 primitives.
     """
 
     pos: jnp.ndarray        # (P, 3)
@@ -41,6 +48,7 @@ class Scene(flax.struct.PyTreeNode):
     plane_z: jnp.ndarray = flax.struct.field(default_factory=lambda: jnp.zeros(()))
     plane_color: jnp.ndarray = flax.struct.field(
         default_factory=lambda: jnp.asarray([0.45, 0.45, 0.5]))
+    planes: jnp.ndarray | None = None   # (P, K, 4) body-frame half-spaces
 
 
 class Camera(NamedTuple):
@@ -94,6 +102,38 @@ def _ray_box(origin, direction, pos, rot, half):
     return t_hit, n_world
 
 
+def _ray_convex(origin, direction, pos, rot, planes):
+    """Ray vs convex polytope given as body-frame half-spaces n·x ≤ d.
+
+    The generalized slab test: every half-space clips the ray parameter to
+    [t_k, ∞) (entering, n·dir < 0) or (-∞, t_k] (exiting, n·dir > 0); the
+    intersection interval is [max entering, min exiting]. Padding rows
+    (0,0,0,1) constrain nothing. Misses get t = BIG. Pure fused VPU math,
+    K× the box slab cost — mesh-accurate silhouettes for ~9 ops/plane.
+    """
+    o = (origin - pos) @ rot            # to body frame
+    d = direction @ rot
+    n = planes[..., :3]                                  # (K, 3)
+    off = planes[..., 3]                                 # (K,)
+    ndotd = jnp.einsum("...c,kc->...k", d, n)            # (H, W, K)
+    ndoto = jnp.einsum("...c,kc->...k", o, n)
+    para = jnp.abs(ndotd) < 1e-9
+    t_k = (off - ndoto) / jnp.where(para, 1e-9, ndotd)
+    entering = ndotd < 0
+    t_near = jnp.max(jnp.where(entering & ~para, t_k, -BIG), axis=-1)
+    t_far = jnp.min(jnp.where(~entering & ~para, t_k, BIG), axis=-1)
+    # a ray parallel to a violated half-space misses outright
+    outside_para = jnp.any(para & (ndoto > off), axis=-1)
+    hit = (t_near <= t_far) & (t_far > 1e-4) & ~outside_para
+    t_hit = jnp.where(t_near > 1e-4, t_near, t_far)
+    t_hit = jnp.where(hit, t_hit, BIG)
+    # normal: the tightest entering half-space
+    k_best = jnp.argmax(jnp.where(entering & ~para, t_k, -BIG), axis=-1)
+    n_body = n[k_best]                                   # (H, W, 3)
+    n_world = n_body @ rot.T
+    return t_hit, n_world
+
+
 def _ray_sphere(origin, direction, pos, radius):
     oc = origin - pos
     b = jnp.sum(oc * direction, axis=-1)
@@ -121,16 +161,33 @@ def render(scene: Scene, cam: Camera, height: int = 64,
     dirs = _camera_rays(cam, height, width)          # (H, W, 3)
     origin = jnp.broadcast_to(cam.pos, dirs.shape)
 
-    def per_prim(pos, rot, size, color, kind):
-        t_box, n_box = _ray_box(origin, dirs, pos, rot, size)
-        t_sph, n_sph = _ray_sphere(origin, dirs, pos, size[0])
-        is_box = (kind == 0)
-        t = jnp.where(is_box, t_box, t_sph)
-        n = jnp.where(is_box, n_box, n_sph)
-        return t, n, color
+    if scene.planes is None:
+        def per_prim(pos, rot, size, color, kind):
+            t_box, n_box = _ray_box(origin, dirs, pos, rot, size)
+            t_sph, n_sph = _ray_sphere(origin, dirs, pos, size[0])
+            is_box = (kind == 0)
+            t = jnp.where(is_box, t_box, t_sph)
+            n = jnp.where(is_box, n_box, n_sph)
+            return t, n, color
 
-    ts, ns, colors = jax.vmap(per_prim)(scene.pos, scene.rot, scene.size,
-                                        scene.color, scene.kind)  # (P, H, W)
+        ts, ns, colors = jax.vmap(per_prim)(
+            scene.pos, scene.rot, scene.size, scene.color,
+            scene.kind)  # (P, H, W)
+    else:
+        def per_prim(pos, rot, size, color, kind, planes):
+            t_box, n_box = _ray_box(origin, dirs, pos, rot, size)
+            t_sph, n_sph = _ray_sphere(origin, dirs, pos, size[0])
+            t_cvx, n_cvx = _ray_convex(origin, dirs, pos, rot, planes)
+            # kind is a per-prim scalar under vmap — broadcasts over (H, W)
+            t = jnp.where(kind == 0, t_box,
+                          jnp.where(kind == 1, t_sph, t_cvx))
+            n = jnp.where(kind == 0, n_box,
+                          jnp.where(kind == 1, n_sph, n_cvx))
+            return t, n, color
+
+        ts, ns, colors = jax.vmap(per_prim)(
+            scene.pos, scene.rot, scene.size, scene.color,
+            scene.kind, scene.planes)  # (P, H, W)
 
     # implicit ground plane
     dz = dirs[..., 2]
@@ -179,15 +236,21 @@ def render_batch(scenes: Scene, cam: Camera, height: int = 64,
 
 
 def render_scene(scene: Scene, cam: Camera, height: int = 64,
-                 width: int = 64, backend: str = "xla") -> jnp.ndarray:
+                 width: int = 64, backend: str = "xla",
+                 n_convex: int = 0) -> jnp.ndarray:
     """Dispatch to the XLA renderer or the Pallas kernel (ops/pallas/raycast,
-    measured ~29x faster at 64x64 on a v5e chip)."""
+    measured ~29x faster at 64x64 on a v5e chip).
+
+    ``n_convex`` (static) tells the Pallas kernel how many leading prims are
+    convex polytopes (kind 2, mesh-accurate k-DOPs); the XLA path reads the
+    per-prim ``kind`` directly and ignores it."""
     if backend == "pallas":
         from .pallas.raycast import render_pallas
         # interpret off-TPU so `renderer="pallas"` configs run (slowly but
         # correctly) on CPU — tests and golden-render fixtures included
         return render_pallas(scene, cam, height, width,
-                             interpret=jax.default_backend() != "tpu")
+                             interpret=jax.default_backend() != "tpu",
+                             n_convex=n_convex)
     return render(scene, cam, height, width)
 
 
