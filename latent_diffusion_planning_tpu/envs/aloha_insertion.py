@@ -55,15 +55,20 @@ class AlohaInsertionEnv:
 
     def __init__(self, image_size: int = 64, render_images: bool = True,
                  episode_len: int = 400, renderer: str = "xla",
-                 camera_names: tuple = ("wrist64",)):
+                 camera_names: tuple = ("wrist64",),
+                 mesh_mode: str = "box"):
         """``camera_names`` selects the observed cameras (reference surface:
         wrist64 + top/angle/front_close/left_pillar, alohasim_env.py:102-114
-        — static ones render at their reference resolutions)."""
+        — static ones render at their reference resolutions).
+        ``mesh_mode='kdop'`` renders mesh-accurate ViperX link hulls
+        (aloha_base.arm_scene_prims_kdop)."""
         self.image_size = image_size
         self.render_images = render_images
         self.episode_len = episode_len
         self.renderer = renderer
         self.camera_names = tuple(camera_names)
+        self.mesh_mode = mesh_mode
+        self.n_convex = 18 if mesh_mode == "kdop" else 0
 
     # ------------------------------------------------------------------
     def reset(self, rng: jax.Array):
@@ -150,10 +155,33 @@ class AlohaInsertionEnv:
                                    self.image_size)
             for name, (cam, (h, w)) in views.items():
                 out[f"{name}_image"] = R.render_scene(
-                    scene, cam, h, w, backend=self.renderer)
+                    scene, cam, h, w, backend=self.renderer,
+                    n_convex=self.n_convex)
         return out
 
     def scene(self, state: AlohaInsertionState) -> R.Scene:
+        if self.mesh_mode == "kdop":
+            lp, lr, ls, lc, lpl = B.arm_scene_prims_kdop(
+                B.LEFT_CHAIN, state.left, (0.25, 0.25, 0.35))
+            rp, rr, rs, rc, rpl = B.arm_scene_prims_kdop(
+                B.RIGHT_CHAIN, state.right, (0.2, 0.3, 0.2))
+            n_planes = lpl.shape[1]
+            obj_rows = jnp.zeros((2, n_planes, 4), jnp.float32
+                                 ).at[:, :, 3].set(1.0)
+            return R.Scene(
+                pos=jnp.concatenate([lp, rp, state.peg_pos[None],
+                                     state.socket_pos[None]]),
+                rot=jnp.concatenate([lr, rr, jnp.eye(3)[None],
+                                     jnp.eye(3)[None]]),
+                size=jnp.concatenate([ls, rs, PEG_HALF[None],
+                                      SOCKET_HALF[None]]),
+                color=jnp.concatenate([lc, rc,
+                                       jnp.asarray([[0.85, 0.1, 0.1],
+                                                    [0.2, 0.3, 0.8]])]),
+                kind=jnp.concatenate([jnp.full((18,), 2, jnp.int32),
+                                      jnp.zeros((2,), jnp.int32)]),
+                plane_z=jnp.asarray(TABLE_Z, jnp.float32),
+                planes=jnp.concatenate([lpl, rpl, obj_rows]))
         lp, lr, ls, lc = B.arm_scene_prims(B.LEFT_CHAIN, state.left,
                                            (0.25, 0.25, 0.35))
         rp, rr, rs, rc = B.arm_scene_prims(B.RIGHT_CHAIN, state.right,
@@ -171,7 +199,8 @@ class AlohaInsertionEnv:
     def render(self, state: AlohaInsertionState) -> jnp.ndarray:
         cam = B.wrist64_camera(state.right)
         return R.render_scene(self.scene(state), cam, self.image_size,
-                              self.image_size, backend=self.renderer)
+                              self.image_size, backend=self.renderer,
+                              n_convex=self.n_convex)
 
     def get_state(self, state):
         return state
