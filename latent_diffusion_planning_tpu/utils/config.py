@@ -140,12 +140,20 @@ def _read_yaml(path: Path) -> Config:
     return _configify(raw)
 
 
+# groups whose yaml library lives under another group's directory: the
+# reference's `mixed_data` group selects from the same per-task data configs
+# as `data` (train_mixed_bc_rm_lift.yaml defaults data + mixed_data both to
+# data/cfg entries)
+GROUP_DIR_ALIASES = {"mixed_data": "data"}
+
+
 def _group_file(group: str, name: str, root: Path) -> Path:
-    p = root / group / f"{name}.yaml"
+    gdir = GROUP_DIR_ALIASES.get(group, group)
+    p = root / gdir / f"{name}.yaml"
     if not p.exists():
-        avail = sorted(x.relative_to(root / group).with_suffix("").as_posix()
-                       for x in (root / group).rglob("*.yaml")) if (root / group).exists() else []
-        raise ConfigError(f"no config {group}/{name}.yaml under {root} (available: {avail})")
+        avail = sorted(x.relative_to(root / gdir).with_suffix("").as_posix()
+                       for x in (root / gdir).rglob("*.yaml")) if (root / gdir).exists() else []
+        raise ConfigError(f"no config {gdir}/{name}.yaml under {root} (available: {avail})")
     return p
 
 

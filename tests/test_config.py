@@ -90,3 +90,19 @@ def test_roundtrip_json(root):
     back = cfglib.config_from_json(cfglib.config_to_json(cfg))
     assert back.agent.name == cfg.agent.name
     assert back.to_dict() == cfg.to_dict()
+
+
+def test_mixed_data_group_alias():
+    """`mixed_data=` group swaps select from the data/ library
+    (GROUP_DIR_ALIASES — regression: the first end-to-end mixed run crashed
+    because the group name was used verbatim as the directory)."""
+    cfg = cfglib.load_config(
+        "train_mixed_bc",
+        ["mixed_data=lift/mixed_latent_img",
+         "mixed_data.train_n_episode_overfit=[8,null]"])
+    assert cfg._groups_["mixed_data"] == "lift/mixed_latent_img"
+    assert list(cfg.mixed_data.train_n_episode_overfit) == [8, None]
+    # and the actionfree composition: mixed_data group can point at the
+    # plain latent config (train_mixed_bc_actionfree parity)
+    cfg2 = cfglib.load_config("train_mixed_bc_actionfree", [])
+    assert "mixed_data" in cfg2

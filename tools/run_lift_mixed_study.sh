@@ -44,25 +44,33 @@ COMMON="$VAE_ARGS agent.vae_pretrain_path=$VAE
   n_grad_steps=$STEPS warmup_steps=200 lr=3e-4 n_eval_episodes=64
   eval_every=$STEPS save_every=$STEPS experiment_folder=$RUN"
 
+# stages are idempotent: a finished run (eval.csv present) is skipped, so
+# the study resumes cleanly after interruptions
 # 2. expert-only BC with N_EXPERT demos
+if [ ! -f experiments/$RUN/expert$N_EXPERT/eval.csv ]; then
 python tools/train_bc.py agent=ldp_agent data=lift/latent_img \
   data.train_n_episode_overfit=$N_EXPERT $COMMON experiment_name=expert$N_EXPERT
+fi
 
 # 3. mixed: IDM additionally sees the suboptimal actions
+if [ ! -f experiments/$RUN/mixed$N_EXPERT/eval.csv ]; then
 python tools/train_mixed_bc.py \
   data=lift/latent_img data.train_n_episode_overfit=$N_EXPERT \
   mixed_data=lift/mixed_latent_img \
   "mixed_data.train_n_episode_overfit=[$N_EXPERT,null]" \
   $COMMON experiment_name=mixed$N_EXPERT
+fi
 
 # 4. action-free: planner additionally sees the suboptimal latent streams
 #    (the planner never reads actions), IDM stays expert-only
+if [ ! -f experiments/$RUN/actionfree$N_EXPERT/eval.csv ]; then
 python tools/train_mixed_bc.py \
   data=lift/mixed_latent_img \
   "data.train_n_episode_overfit=[$N_EXPERT,null]" \
   mixed_data=lift/latent_img \
   mixed_data.train_n_episode_overfit=$N_EXPERT \
   $COMMON experiment_name=actionfree$N_EXPERT
+fi
 
 python - <<'PYEOF'
 import csv, glob
