@@ -49,3 +49,7 @@ python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
   n_grad_steps=$STEPS warmup_steps=500 lr=3e-4 n_eval_episodes=64 \
   eval_every=10000 save_every=10000 \
   experiment_folder=$RUN experiment_name=ldp
+
+# persist the small evidence artifacts into the tracked tree (experiments/
+# is gitignored and wiped between build sessions)
+python tools/snapshot_run.py experiments/$RUN/vae experiments/$RUN/ldp

@@ -47,6 +47,10 @@ python tools/train_bc.py agent=ldp_hier_agent data=lift/latent_img \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
   $COMMON experiment_name=ldp_hier
 
+# persist the small evidence artifacts into the tracked tree (experiments/
+# is gitignored and wiped between build sessions)
+python tools/snapshot_run.py experiments/$RUN/*/
+
 python - <<'PYEOF'
 import csv, glob
 print("== baseline results ==")

@@ -72,6 +72,10 @@ python tools/train_mixed_bc.py \
   $COMMON experiment_name=actionfree$N_EXPERT
 fi
 
+# persist the small evidence artifacts into the tracked tree (experiments/
+# is gitignored and wiped between build sessions)
+python tools/snapshot_run.py experiments/$RUN/*/
+
 python - <<'PYEOF'
 import csv, glob
 print("== mixed-study results ==")
