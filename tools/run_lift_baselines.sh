@@ -21,22 +21,30 @@ COMMON="data.env_params.env.episode_len=80
   warmup_steps=200 lr=3e-4 n_eval_episodes=64
   experiment_folder=$RUN"
 
+# stages are idempotent: a finished run (eval.csv present) is skipped
 # 1. Diffusion Policy from raw pixels (trained ResNet-18 encoder end-to-end)
+if [ ! -f experiments/$RUN/dp/eval.csv ]; then
 python tools/train_bc.py agent=dp_agent data=lift/img \
   'agent.planner.down_dims=[64,128,256]' \
   agent.n_diffusion_steps=50 agent.inference_steps=25 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
   $COMMON experiment_name=dp
+python tools/snapshot_run.py experiments/$RUN/dp
+fi
 
 # 2. DP over frozen VAE latents
+if [ ! -f experiments/$RUN/dp_vae/eval.csv ]; then
 python tools/train_bc.py agent=dp_repr_agent data=lift/latent_img \
   $VAE_ARGS agent.vae_pretrain_path=$VAE \
   'agent.planner.down_dims=[64,128,256]' \
   agent.n_diffusion_steps=50 agent.inference_steps=25 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
   $COMMON experiment_name=dp_vae
+python tools/snapshot_run.py experiments/$RUN/dp_vae
+fi
 
 # 3. Hierarchical LDP (strided planner + chunk-decoding U-Net IDM)
+if [ ! -f experiments/$RUN/ldp_hier/eval.csv ]; then
 python tools/train_bc.py agent=ldp_hier_agent data=lift/latent_img \
   $VAE_ARGS agent.vae_pretrain_path=$VAE \
   'agent.planner.down_dims=[64,128,256]' \
@@ -46,6 +54,8 @@ python tools/train_bc.py agent=ldp_hier_agent data=lift/latent_img \
   idm_horizon=4 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
   $COMMON experiment_name=ldp_hier
+python tools/snapshot_run.py experiments/$RUN/ldp_hier
+fi
 
 # persist the small evidence artifacts into the tracked tree (experiments/
 # is gitignored and wiped between build sessions)

@@ -50,6 +50,7 @@ COMMON="$VAE_ARGS agent.vae_pretrain_path=$VAE
 if [ ! -f experiments/$RUN/expert$N_EXPERT/eval.csv ]; then
 python tools/train_bc.py agent=ldp_agent data=lift/latent_img \
   data.train_n_episode_overfit=$N_EXPERT $COMMON experiment_name=expert$N_EXPERT
+python tools/snapshot_run.py experiments/$RUN/expert$N_EXPERT
 fi
 
 # 3. mixed: IDM additionally sees the suboptimal actions
@@ -59,6 +60,7 @@ python tools/train_mixed_bc.py \
   mixed_data=lift/mixed_latent_img \
   "mixed_data.train_n_episode_overfit=[$N_EXPERT,null]" \
   $COMMON experiment_name=mixed$N_EXPERT
+python tools/snapshot_run.py experiments/$RUN/mixed$N_EXPERT
 fi
 
 # 4. action-free: planner additionally sees the suboptimal latent streams
@@ -70,6 +72,7 @@ python tools/train_mixed_bc.py \
   mixed_data=lift/latent_img \
   mixed_data.train_n_episode_overfit=$N_EXPERT \
   $COMMON experiment_name=actionfree$N_EXPERT
+python tools/snapshot_run.py experiments/$RUN/actionfree$N_EXPERT
 fi
 
 # persist the small evidence artifacts into the tracked tree (experiments/
