@@ -14,6 +14,7 @@
 # Prereq: experiments/pipeline3 artifacts (VAE + LDP on physics Lift) and
 # datasets/lift/demos*.hdf5 from tools/run_lift_pipeline.sh.
 set -e
+shopt -s nullglob
 cd "$(dirname "$0")/.."
 RUN=${RUN:-mixed_study}
 N_EXPERT=${N_EXPERT:-8}

@@ -21,7 +21,15 @@ TRAIN_TAIL = 24
 
 def snapshot(run_dir: Path) -> None:
     run_dir = run_dir.resolve()
-    rel = run_dir.relative_to(REPO / "experiments")
+    if not run_dir.is_dir():
+        print(f"snapshot_run: skipping {run_dir} (not a directory)",
+              file=sys.stderr)
+        return
+    try:
+        rel = run_dir.relative_to(REPO / "experiments")
+    except ValueError:
+        sys.exit(f"snapshot_run: {run_dir} is not under experiments/ "
+                 "(usage: python tools/snapshot_run.py experiments/<folder>/<name>)")
     dst = DST_ROOT / rel
     dst.mkdir(parents=True, exist_ok=True)
     for name in ("config.yaml", "eval.csv"):
