@@ -19,8 +19,10 @@ from typing import Any, Mapping
 
 ENV_REGISTRY = {
     "Lift": "latent_diffusion_planning_tpu.envs.lift_physics.LiftPhysicsEnv",
-    "PickPlaceCan": "latent_diffusion_planning_tpu.envs.pick_place.CanEnv",
-    "NutAssemblySquare": "latent_diffusion_planning_tpu.envs.pick_place.SquareEnv",
+    "PickPlaceCan": ("latent_diffusion_planning_tpu.envs.pick_place_physics."
+                     "CanPhysicsEnv"),
+    "NutAssemblySquare": ("latent_diffusion_planning_tpu.envs."
+                          "pick_place_physics.SquarePhysicsEnv"),
     # ALOHA task names enumerate the reference's SIM_TASK_CONFIGS variants
     # explicitly (envs/aloha_constants.py SIM_TASK_CONFIGS): exact keys only
     "sim_transfer_cube": ("latent_diffusion_planning_tpu.envs.aloha_cube."
@@ -45,6 +47,10 @@ NATIVE_REGISTRY = {
                        "LiftPhysicsEnv"),
     "CanEnv": "latent_diffusion_planning_tpu.envs.pick_place.CanEnv",
     "SquareEnv": "latent_diffusion_planning_tpu.envs.pick_place.SquareEnv",
+    "CanPhysicsEnv": ("latent_diffusion_planning_tpu.envs.pick_place_physics."
+                      "CanPhysicsEnv"),
+    "SquarePhysicsEnv": ("latent_diffusion_planning_tpu.envs."
+                         "pick_place_physics.SquarePhysicsEnv"),
     "AlohaTransferCubeEnv": ("latent_diffusion_planning_tpu.envs.aloha_cube."
                              "AlohaTransferCubeEnv"),
     "AlohaInsertionEnv": ("latent_diffusion_planning_tpu.envs."
