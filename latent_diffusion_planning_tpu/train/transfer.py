@@ -109,33 +109,62 @@ def map_mlp_diffusion_params(ref_params: Mapping) -> dict:
     return _unflat(dict(flat))
 
 
+def export_unet1d_params(params: Mapping,
+                         down_dims: Sequence[int]) -> dict:
+    """Inverse of :func:`map_unet1d_params`: ours → reference naming.
+
+    Emits the flax auto-naming the reference's
+    ``networks/diffusion_nets_v2.ConditionalUnet1D`` produces, so a policy
+    trained here can be restored by the reference's checkpoint protocol
+    (train_bc.py:210-240 rebinds any ``*_params`` key). The rename is a
+    bijection — ``map_unet1d_params(export_unet1d_params(p)) == p``.
+    """
+    L = len(down_dims)
+    flat = _flat(params)
+    out = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        head = parts[0]
+        if head.startswith("FiLMResBlock1D_"):
+            idx = head.split("_")[-1]
+            rest = "/".join(parts[1:]).replace("ConvBlock1D_", "Conv1dBlock_")
+            out[f"ConditionalResidualBlock1D_{idx}/{rest}"] = v
+        elif head.startswith("ConvTranspose_"):
+            idx = head.split("_")[-1]
+            out[f"Upsample1d_{idx}/ConvTranspose_0/{parts[1]}"] = v
+        elif head == f"Conv_{L - 1}":  # final 1x1 conv
+            out["Conv_0/" + "/".join(parts[1:])] = v
+        elif head.startswith("Conv_"):
+            idx = head.split("_")[-1]
+            out[f"Downsample1d_{idx}/Conv_0/{parts[1]}"] = v
+        elif head == "ConvBlock1D_0":  # final conv block
+            out["Conv1dBlock_0/" + "/".join(parts[1:])] = v
+        elif head in ("Dense_0", "Dense_1"):
+            out[key] = v
+        else:
+            raise KeyError(f"unrecognized U-Net param {key!r}")
+    return _unflat(out)
+
+
+def export_mlp_diffusion_params(params: Mapping) -> dict:
+    """Ours → reference MLPDiffusion (identical naming, validated)."""
+    return map_mlp_diffusion_params(params)
+
+
 # ---------------------------------------------------------------------------
 # diffusers FlaxAutoencoderKL
 # ---------------------------------------------------------------------------
 
-def map_diffusers_vae_params(ref_params: Mapping,
-                             block_out_channels: Sequence[int],
-                             layers_per_block: int = 2,
-                             strict: bool = True) -> dict:
-    """diffusers FlaxAutoencoderKL pytree → models/vae.KLVAE params.
+def _vae_prefix_pairs(L: int, layers_per_block: int) -> list[tuple[str, str]]:
+    """(ours, theirs) leaf-module prefix pairs for the KLVAE ↔ diffusers map.
 
-    Both are NHWC flax convs so kernels transfer verbatim; only the module
-    naming differs. Use with KLVAE(downsample_pad='diffusers') — diffusers
-    downsample convs pad ((0,1),(0,1)), not SAME.
-
-    ``strict`` raises when any source parameter is not consumed by the
-    mapping — a wrong block_out_channels/layers_per_block would otherwise
-    silently yield a partially mapped pytree (ADVICE r2).
+    Single source of truth for both directions; theirs-side prefixes double
+    as the strict-coverage universe.
     """
-    L = len(block_out_channels)
-    flat = _flat(ref_params)
-    out = {}
+    pairs: list[tuple[str, str]] = []
 
     def put(dst, src):
-        for suffix in ("kernel", "bias", "scale"):
-            k = f"{src}/{suffix}"
-            if k in flat:
-                out[f"{dst}/{suffix}"] = flat[k]
+        pairs.append((dst, src))
 
     def resblock(dst, src):
         put(f"{dst}/GroupNorm_0", f"{src}/norm1")
@@ -186,39 +215,61 @@ def map_diffusers_vae_params(ref_params: Mapping,
                 f"decoder/up_blocks_{i}/upsamplers_0/conv")
     put("decoder/GroupNorm_0", "decoder/conv_norm_out")
     put(f"decoder/Conv_{L}", "decoder/conv_out")
+    return pairs
 
-    unmapped = set(flat) - {f"{s}/{x}" for s in _ref_vae_sources(
-        L, layers_per_block, flat) for x in ("kernel", "bias", "scale")}
+
+def _map_by_pairs(flat: Mapping[str, Any], prefix_map: Mapping[str, str],
+                  what: str, strict: bool) -> dict:
+    out = {}
+    for dst, src in prefix_map.items():
+        for suffix in ("kernel", "bias", "scale"):
+            k = f"{src}/{suffix}"
+            if k in flat:
+                out[f"{dst}/{suffix}"] = flat[k]
+    consumed = {f"{s}/{x}" for s in prefix_map.values()
+                for x in ("kernel", "bias", "scale")}
+    unmapped = set(flat) - consumed
     if unmapped:
-        msg = (f"map_diffusers_vae_params left {len(unmapped)} source "
-               f"param(s) unmapped (wrong block_out_channels/"
-               f"layers_per_block?): {sorted(unmapped)[:8]}")
+        msg = (f"{what} left {len(unmapped)} source param(s) unmapped "
+               f"(wrong block_out_channels/layers_per_block?): "
+               f"{sorted(unmapped)[:8]}")
         if strict:
             raise ValueError(msg)
         import warnings
-        warnings.warn(msg, stacklevel=2)
+        warnings.warn(msg, stacklevel=3)
     return _unflat(out)
 
 
-def _ref_vae_sources(L, lpb, flat):
-    """All source prefixes the mapping consumes (for coverage checks)."""
-    srcs = ["encoder/conv_in", "encoder/conv_norm_out", "encoder/conv_out",
-            "quant_conv", "post_quant_conv", "decoder/conv_in",
-            "decoder/conv_norm_out", "decoder/conv_out"]
-    for side, n in (("encoder/down_blocks", lpb), ("decoder/up_blocks", lpb + 1)):
-        for i in range(L):
-            for j in range(n):
-                base = f"{side}_{i}/resnets_{j}"
-                srcs += [f"{base}/norm1", f"{base}/conv1", f"{base}/norm2",
-                         f"{base}/conv2", f"{base}/conv_shortcut"]
-            if i < L - 1:
-                tail = ("downsamplers_0" if "down" in side else "upsamplers_0")
-                srcs.append(f"{side}_{i}/{tail}/conv")
-    for side in ("encoder", "decoder"):
-        srcs += [f"{side}/mid_block/resnets_0/{p}" for p in
-                 ("norm1", "conv1", "norm2", "conv2", "conv_shortcut")]
-        srcs += [f"{side}/mid_block/resnets_1/{p}" for p in
-                 ("norm1", "conv1", "norm2", "conv2", "conv_shortcut")]
-        srcs += [f"{side}/mid_block/attentions_0/{p}" for p in
-                 ("group_norm", "query", "key", "value", "proj_attn")]
-    return srcs
+def map_diffusers_vae_params(ref_params: Mapping,
+                             block_out_channels: Sequence[int],
+                             layers_per_block: int = 2,
+                             strict: bool = True) -> dict:
+    """diffusers FlaxAutoencoderKL pytree → models/vae.KLVAE params.
+
+    Both are NHWC flax convs so kernels transfer verbatim; only the module
+    naming differs. Use with KLVAE(downsample_pad='diffusers') — diffusers
+    downsample convs pad ((0,1),(0,1)), not SAME.
+
+    ``strict`` raises when any source parameter is not consumed by the
+    mapping — a wrong block_out_channels/layers_per_block would otherwise
+    silently yield a partially mapped pytree (ADVICE r2).
+    """
+    pairs = _vae_prefix_pairs(len(block_out_channels), layers_per_block)
+    return _map_by_pairs(_flat(ref_params), dict(pairs),
+                         "map_diffusers_vae_params", strict)
+
+
+def export_diffusers_vae_params(params: Mapping,
+                                block_out_channels: Sequence[int],
+                                layers_per_block: int = 2,
+                                strict: bool = True) -> dict:
+    """Inverse of :func:`map_diffusers_vae_params`: KLVAE → diffusers naming.
+
+    Only valid for reference-shaped KLVAEs (``patch_size=1`` — the
+    patchified MXU stem has no diffusers counterpart); use
+    ``downsample_pad='diffusers'`` on the module the params came from so the
+    exported checkpoint is bit-equivalent under the reference's padding.
+    """
+    pairs = _vae_prefix_pairs(len(block_out_channels), layers_per_block)
+    return _map_by_pairs(_flat(params), {src: dst for dst, src in pairs},
+                         "export_diffusers_vae_params", strict)

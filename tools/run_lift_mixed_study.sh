@@ -42,7 +42,7 @@ COMMON="$VAE_ARGS agent.vae_pretrain_path=$VAE
   agent.planner_inference_steps=25 agent.idm_inference_steps=25
   data.env_params.env.episode_len=80
   horizon=9 obs_horizon=1 action_horizon=4 pred_horizon=8 batch_size=128
-  n_grad_steps=$STEPS warmup_steps=200 lr=3e-4 n_eval_episodes=64
+  n_grad_steps=$STEPS warmup_steps=200 lr=3e-4 n_eval_episodes=${N_EVAL:-512}
   eval_every=$STEPS save_every=$STEPS experiment_folder=$RUN"
 
 # stages are idempotent: a finished run (eval.csv present) is skipped, so
@@ -81,12 +81,14 @@ fi
 python tools/snapshot_run.py experiments/$RUN/*/
 
 python - <<'PYEOF'
-import csv, glob
-print("== mixed-study results ==")
+import csv, glob, math
+print("== mixed-study results (95% binomial CI) ==")
 for f in sorted(glob.glob("experiments/mixed_study/*/eval.csv")):
     rows = list(csv.DictReader(open(f)))
     if rows:
         r = rows[-1]
-        print(f"{f.split('/')[-2]:>16}: success {r.get('success')} "
-              f"@ step {r.get('step')}")
+        p_hat, n = float(r["success"]), float(r["n_episodes"])
+        half = 1.96 * math.sqrt(max(p_hat * (1 - p_hat), 1e-9) / n)
+        print(f"{f.split('/')[-2]:>16}: success {p_hat:.3f} "
+              f"+/- {half:.3f} (n={n:.0f}) @ step {r.get('step')}")
 PYEOF

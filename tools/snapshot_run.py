@@ -32,9 +32,10 @@ def snapshot(run_dir: Path) -> None:
                  "(usage: python tools/snapshot_run.py experiments/<folder>/<name>)")
     dst = DST_ROOT / rel
     dst.mkdir(parents=True, exist_ok=True)
-    for name in ("config.yaml", "eval.csv"):
+    for name in ("config.yaml", "eval.csv", "eval_sweep/eval.csv"):
         src = run_dir / name
         if src.exists():
+            (dst / name).parent.mkdir(parents=True, exist_ok=True)
             shutil.copy2(src, dst / name)
     train = run_dir / "train.csv"
     if train.exists():
