@@ -27,4 +27,12 @@ bash tools/run_lift_mixed_study.sh > logs/mixed_study_r4.log 2>&1
 bash tools/run_can_pipeline.sh > logs/can_pipeline.log 2>&1
 bash tools/run_lift_baselines.sh > logs/baselines_r4.log 2>&1
 bash tools/run_roundtrip_check.sh > logs/roundtrip.log 2>&1
+# 8. reference-scale recipe (VERDICT #10) — runs until done or round end;
+#    a snapshotter loop persists its evidence every 10 min so a cut-off run
+#    still leaves auditable curves
+( while true; do sleep 600; python tools/snapshot_run.py \
+    experiments/ref_scale/ldp 2>/dev/null || true; done ) &
+SNAP_PID=$!
+bash tools/run_reference_scale.sh > logs/ref_scale.log 2>&1
+kill $SNAP_PID 2>/dev/null || true
 echo "round-4 queue complete"
