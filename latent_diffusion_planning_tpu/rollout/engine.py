@@ -89,6 +89,7 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
                      video_key: str = "agentview_image",
                      episode_seeds: Any = None,
                      env_mesh: Any = None,
+                     plan_blend: float = 0.0,
                      policy: PolicyFn = agent_sample_policy) -> dict:
     """Run ``n_episodes`` parallel episodes; returns host-side metrics.
 
@@ -103,6 +104,14 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     reference's n_eval_processes fan-out, scaled to chips instead of CPU
     processes. Reuse the same ``env`` instance across calls — it is a static
     jit arg.
+
+    ``plan_blend`` ∈ [0, 1): ACT-style temporal ensembling of action chunks.
+    At each decision, the executed chunk is ``(1-w)·new + w·previous`` on the
+    steps where the previous plan still covers the timeline (its tail after
+    the ``action_horizon`` steps already executed); non-overlapping steps use
+    the new plan untouched. With ``action_horizon=1`` this recursion is an
+    exponentially-weighted ensemble over all past plans — the smoothing used
+    by ACT-family bimanual policies. 0 (default) disables it.
     """
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
@@ -115,7 +124,7 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     run = partial(_run_jit, env, policy, n_episodes, obs_horizon,
                   action_horizon, episode_len, n_decisions,
                   tuple(policy_obs_keys) if policy_obs_keys else None,
-                  add_optimal, video_envs, video_key)
+                  add_optimal, video_envs, video_key, float(plan_blend))
     if env_mesh is not None:
         assert video_envs == 0, "video capture not supported under env_mesh"
         n_shards = int(np.prod(list(env_mesh.shape.values())))
@@ -125,7 +134,7 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
         local = partial(_run_jit, env, policy, n_episodes // n_shards,
                         obs_horizon, action_horizon, episode_len, n_decisions,
                         tuple(policy_obs_keys) if policy_obs_keys else None,
-                        add_optimal, 0, video_key)
+                        add_optimal, 0, video_key, float(plan_blend))
         run = jax.jit(jax.shard_map(
             local, mesh=env_mesh, in_specs=(P(), P(), spec),
             out_specs=spec, check_vma=False))
@@ -147,10 +156,10 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     return result
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10))
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
              episode_len, n_decisions, policy_obs_keys, add_optimal,
-             video_envs, video_key, agent, rng, episode_seeds):
+             video_envs, video_key, plan_blend, agent, rng, episode_seeds):
     reset_rng, policy_rng = jax.random.split(rng)
     # Under env_mesh the rng arrives replicated (in_specs P()) while
     # episode_seeds are sharded; folding the shard's first seed into the
@@ -190,10 +199,32 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
         success=jnp.zeros((n_episodes,), bool),
         reward=jnp.zeros((n_episodes,)),
         steps=jnp.zeros((n_episodes,), jnp.int32))
+    if plan_blend > 0.0:
+        # shape of one policy plan, for free (no compute) — the carry slot
+        # for the previous blended plan in temporal ensembling
+        plan_sds = jax.eval_shape(policy, agent,
+                                  policy_view(make_window(history)),
+                                  policy_rng)
+        init["prev_plan"] = jnp.zeros(plan_sds.shape, plan_sds.dtype)
+        init["first"] = jnp.ones((), bool)
 
     def decision(carry, d_rng):
         actions = policy(agent, policy_view(make_window(carry["history"])),
                          d_rng)
+        if plan_blend > 0.0:
+            # ACT-style temporal ensembling: average the new plan with the
+            # previous blended plan's unexecuted tail (aligned in time by the
+            # action_horizon steps just executed); steps past the overlap
+            # have no prior prediction and pass through unblended.
+            plan_len = actions.shape[1]
+            overlap = plan_len - action_horizon
+            prev_tail = jnp.concatenate(
+                [carry["prev_plan"][:, action_horizon:],
+                 actions[:, overlap:]], axis=1)
+            mixed = (1.0 - plan_blend) * actions + plan_blend * prev_tail
+            actions = jnp.where(carry["first"], actions, mixed)
+            carry = dict(carry, prev_plan=actions,
+                         first=jnp.zeros((), bool))
         actions = actions[:, :action_horizon]
 
         def act(carry, a_t):
@@ -223,9 +254,12 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
             return dict(states=states, history=history, done=new_done,
                         success=success, reward=reward, steps=steps), frame
 
-        carry, frames = jax.lax.scan(act, carry,
+        # the inner act-scan carries only the stepping state; ensemble slots
+        # (prev_plan/first) ride the outer decision carry untouched
+        step_keys = ("states", "history", "done", "success", "reward", "steps")
+        inner, frames = jax.lax.scan(act, {k: carry[k] for k in step_keys},
                                      jnp.swapaxes(actions, 0, 1))
-        return carry, frames
+        return dict(carry, **inner), frames
 
     d_rngs = jax.random.split(policy_rng, n_decisions)
     final, frames = jax.lax.scan(decision, init, d_rngs)

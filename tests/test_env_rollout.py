@@ -241,3 +241,48 @@ def test_data_collection_hostloop_matches_scan():
     for k in a["obs"]:
         np.testing.assert_allclose(a["obs"][k], b["obs"][k], atol=1e-5,
                                    err_msg=k)
+
+
+def test_plan_blend_temporal_ensemble():
+    """plan_blend executes (1-w)*new + w*previous-plan-tail on the overlap.
+
+    With a policy that always emits plan[j] = j (j = 0..7) and
+    action_horizon 4: decision 1 executes [0,1,2,3] unblended (no previous
+    plan); decision 2's overlap-aligned previous tail is [4,5,6,7], so it
+    executes (1-w)*[0,1,2,3] + w*[4,5,6,7].
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from latent_diffusion_planning_tpu.rollout import engine
+
+    class RewardEchoEnv:
+        obs_keys = ("x",)
+        action_dim = 1
+        episode_len = 8
+        max_reward = 100.0
+
+        def reset(self, rng):
+            state = {"t": jnp.zeros((), jnp.int32)}
+            return state, self.obs(state)
+
+        def step(self, state, action):
+            state = {"t": state["t"] + 1}
+            return state, self.obs(state), action[0], jnp.zeros((), bool)
+
+        def obs(self, state):
+            return {"x": jnp.ones((2,))}
+
+    def policy(agent, obs_window, rng):
+        B = obs_window["x"].shape[0]
+        return jnp.tile(jnp.arange(8.0)[None, :, None], (B, 1, 1))
+
+    def total_reward(w):
+        out = engine.run_batched_eval(
+            RewardEchoEnv(), None, 3, jax.random.PRNGKey(0), obs_horizon=1,
+            action_horizon=4, episode_len=8, plan_blend=w, policy=policy)
+        return np.asarray(out["per_episode"]["reward"])
+
+    np.testing.assert_allclose(total_reward(0.0), 12.0)       # 6 + 6
+    np.testing.assert_allclose(total_reward(0.5), 20.0)       # 6 + 3 + 11

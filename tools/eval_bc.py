@@ -92,7 +92,9 @@ def main(argv=None) -> None:
             out = engine.run_batched_eval(
                 env, agent, cfg.n_eval_episodes, sub,
                 obs_horizon=run_cfg.obs_horizon,
-                action_horizon=run_cfg.action_horizon,
+                action_horizon=int(cfg.get("eval_action_horizon", 0))
+                or run_cfg.action_horizon,
+                plan_blend=float(cfg.get("plan_blend", 0.0)),
                 policy_obs_keys=policy_keys,
                 add_optimal="optimal" in meta["lowdim_obs"])
             logger.log_metrics(out["metrics"], step, "eval")
