@@ -24,11 +24,15 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
                        successful_only: bool = False,
                        unsuccessful_only: bool = False,
                        max_demos: int | None = None,
-                       image_keys: tuple[str, ...] = ("agentview_image",)) -> int:
+                       image_keys: tuple[str, ...] = ()) -> int:
     """Write collected episodes; returns the number of demos written.
 
     ``collection`` holds first_obs {k: (N, ...)}, obs {k: (N, T, ...)},
     actions (N, T, A), rewards (N, T), success (N, T).
+
+    Any obs key ending in ``_image`` (plus explicit ``image_keys``) is
+    stored uint8 like the reference's recorded datasets — at the 480x640
+    viz-camera resolutions float32 storage would 4x every demo file.
     """
     assert not (successful_only and unsuccessful_only)
     path = Path(path)
@@ -63,7 +67,8 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
                 stream_next = np.asarray(obs[k][i])          # (T, ...)
                 stream_obs = np.concatenate(
                     [np.asarray(first[k][i])[None], stream_next[:-1]], axis=0)
-                if k in image_keys:
+                if k in image_keys or (k.endswith("_image")
+                                       and not k.startswith("latent_")):
                     stream_obs = np.clip(stream_obs, 0, 255).astype(np.uint8)
                     stream_next = np.clip(stream_next, 0, 255).astype(np.uint8)
                 obs_g.create_dataset(k, data=stream_obs)
