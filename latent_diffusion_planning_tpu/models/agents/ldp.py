@@ -473,9 +473,14 @@ class LDPAgent(flax.struct.PyTreeNode):
         cond = obs_emb[:, :c.obs_horizon].reshape(B, -1)
         rng, plan_rng = jax.random.split(rng)
         pred_plan = self._plan(cond, plan_rng)
+        # decode the FULL pred_horizon plan (not just the executed
+        # action_horizon prefix): callers slice what they execute, and the
+        # rollout engine's ACT-style temporal ensembling (plan_blend) needs
+        # the unexecuted tail to overlap-average consecutive plans — with an
+        # action_horizon-length chunk the overlap is empty and blending is
+        # vacuous. LDPHier's sample_fast already returns the full chunk.
         plan = jnp.concatenate(
-            [obs_emb[:, c.obs_horizon - 1: c.obs_horizon],
-             pred_plan[:, : c.action_horizon]], axis=1)
+            [obs_emb[:, c.obs_horizon - 1: c.obs_horizon], pred_plan], axis=1)
         pairs = common.consecutive_pairs(plan)
         rng, idm_rng = jax.random.split(rng)
         acts = self._idm_decode(pairs, idm_rng).reshape(B, -1, c.action_dim)

@@ -67,11 +67,18 @@ def main(argv=None) -> None:
     if cfg.get("idm_snapshot_path"):
         idm_snapshot = ckpt.restore_raw(Path(cfg.idm_snapshot_path))
 
+    # ckpt_steps=[60000] restricts the sweep (knob sweeps re-evaluate one
+    # trained checkpoint under many eval-time configs — re-scoring every
+    # checkpoint each time would multiply the cost by the save cadence)
+    only_steps = {int(s) for s in cfg.get("ckpt_steps", [])} or None
+
     rng = jax.random.PRNGKey(cfg.get("seed", 1111111))
     train_iter = data.train_dataloader()
     eval_iter = data.eval_dataloader()
     for path in ckpt.list_checkpoints():
         step = int(path.name.split(".")[0])
+        if only_steps is not None and step not in only_steps:
+            continue
         agent = apply_params_snapshot(base_agent, ckpt.restore_raw(path))
         if idm_snapshot is not None:
             agent = apply_params_snapshot(agent, idm_snapshot,

@@ -10,11 +10,13 @@ cd "$(dirname "$0")/.."
 RUN=${RUN:-aloha_phys}
 DIR=experiments/$RUN/ldp
 N_EVAL=${N_EVAL:-256}
+CKPT_STEP=${CKPT_STEP:-60000}
 
 run_one () {  # label, extra overrides...
   local label=$1; shift
   echo "== knob config: $label ($*)"
-  python tools/eval_bc.py run_dir=$DIR n_eval_episodes=$N_EVAL "$@" \
+  python tools/eval_bc.py run_dir=$DIR n_eval_episodes=$N_EVAL \
+    "ckpt_steps=[$CKPT_STEP]" "$@" \
     2>&1 | grep -E "ckpt [0-9]+:" | sed "s/^/[$label] /"
 }
 
