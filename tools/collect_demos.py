@@ -31,7 +31,7 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     out = engine.run_scripted_collection(
         env, cfg.n_episodes, rng, episode_len=cfg.get("episode_len"),
-        noise=cfg.get("noise", 0.0))
+        noise=cfg.get("noise", 0.0), noise_hold=cfg.get("noise_hold", 1))
     env_kwargs = {k: v for k, v in cfg.env.items() if k != "_target_"}
     if cfg.get("episode_len"):
         # the rollout override is the TRUE episode length of these demos —
