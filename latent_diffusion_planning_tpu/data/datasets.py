@@ -144,9 +144,19 @@ class OfflineData:
     def welded(self, split: str) -> ingest.WeldedDemos:
         if split not in self._welded:
             path, latent_path, n_demos = self._paths[split]
-            self._welded[split] = _loader(self.format)(
-                path, self.obs_keys, n_demos=n_demos,
-                latent_path=latent_path, name=f"{self.name}/{split}")
+            # list-valued paths weld several collections into one dataset
+            # (e.g. clean + DART noise-injected demo segments); latent
+            # companions pair up positionally
+            paths = path if isinstance(path, (list, tuple)) else [path]
+            lats = _as_list(latent_path, len(paths))
+            parts = [
+                _loader(self.format)(p, self.obs_keys, n_demos=n_demos,
+                                     latent_path=lp,
+                                     name=f"{self.name}/{split}[{i}]")
+                for i, (p, lp) in enumerate(zip(paths, lats))]
+            self._welded[split] = (parts[0] if len(parts) == 1 else
+                                   ingest.concat_welded(
+                                       parts, name=f"{self.name}/{split}"))
         return self._welded[split]
 
     def device_dataset(self, split: str) -> DeviceDataset:

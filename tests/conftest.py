@@ -36,6 +36,16 @@ assert jax.default_backend() == "cpu", (
     "unit tests must run on the virtual CPU mesh, not the tunneled TPU; "
     f"got {jax.default_backend()!r}")
 
+# Persistent XLA compilation cache: the suite's cost on this 1-core box is
+# dominated by CPU compiles of shapes that never change between runs (env
+# scans, agent updates, interpret-mode Pallas). Keyed on HLO, so edits that
+# change a traced program re-compile exactly that program.
+_CACHE_DIR = os.environ.get("JAX_TEST_COMPILATION_CACHE",
+                            str(Path.home() / ".cache" / "ldp_tpu_test_xla"))
+jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import pytest  # noqa: E402
 
 

@@ -170,3 +170,22 @@ def test_stats_from_data_measures_bounds(h5):
     assert len(norm["actions"]["min"]) == acts.shape[1]
     # the original meta dict is untouched (deep copy)
     assert "min" not in meta["obs_normalization"].get("actions", {})
+
+
+def test_facade_multi_path_welds(h5, tmp_path):
+    """List-valued train_path welds several files (clean + DART segments)."""
+    p2 = synthetic.write_robomimic_hdf5(tmp_path / "seg2.hdf5", n_demos=2,
+                                        demo_len=9, obs_shapes=OBS_SHAPES,
+                                        ac_dim=4, seed=3)
+    meta = {"lowdim_obs": ["robot0_eef_pos"], "rgb_obs": [],
+            "shape_meta": {"ac_dim": 4,
+                           "all_shapes": {"robot0_eef_pos": [3]}},
+            "obs_normalization": synthetic.synthetic_stats(OBS_SHAPES)}
+    data = OfflineData(name="syn2", train_path=[str(h5), str(p2)],
+                       eval_path=str(h5), meta=meta, batch_size=4,
+                       seq_length=5, device_put=False)
+    w = data.welded("train")
+    assert len(w.demo_starts) == 5           # 3 + 2 demos
+    assert w.total_steps == 3 * 13 + 2 * 10  # terminal splice per demo
+    batch = next(data.train_dataloader())
+    assert batch["actions"].shape == (4, 5, 4)

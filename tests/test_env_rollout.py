@@ -286,3 +286,18 @@ def test_plan_blend_temporal_ensemble():
 
     np.testing.assert_allclose(total_reward(0.0), 12.0)       # 6 + 6
     np.testing.assert_allclose(total_reward(0.5), 20.0)       # 6 + 3 + 11
+
+
+def test_collection_step_rngs_block_structure():
+    from latent_diffusion_planning_tpu.rollout.engine import (
+        _collection_step_rngs)
+    keys = _collection_step_rngs(jax.random.PRNGKey(0), 10, 4)
+    assert keys.shape == (10, 2)
+    k = np.asarray(keys)
+    # held within blocks of 4, fresh draw at block boundaries
+    assert (k[0] == k[3]).all() and (k[4] == k[7]).all()
+    assert not (k[3] == k[4]).all()
+    # hold=1 reproduces the plain per-step split bit-exactly
+    k1 = np.asarray(_collection_step_rngs(jax.random.PRNGKey(0), 6, 1))
+    ref = np.asarray(jax.random.split(jax.random.PRNGKey(0), 6))
+    assert (k1 == ref).all()

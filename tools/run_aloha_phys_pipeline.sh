@@ -1,29 +1,39 @@
 #!/bin/bash
 # Self-contained LDP pipeline on the CONTACT-PHYSICS bimanual ALOHA
 # transfer-cube task (reference recipe: scripted demos -> VAE -> latents ->
-# LDP -> eval). Round-3 recipe fixes over run_aloha_pipeline.sh:
-#   - the env is the penalty-contact AlohaTransferCubeEnv (cube on the
-#     rigid-body engine, contact-event rewards — envs/aloha_cube.py),
-#   - 256-dim VAE latents (reference SD-VAE capacity: 8x8x4) instead of 16,
-#   - qpos/action/latent normalization bounds measured from the demos
-#     (stats_from_data), the reference's measured-table protocol,
-#   - x0(sample)-prediction planner (the round-3 root-cause fix: ε-loss on
-#     256-dim latent plans converges to an unconditional basin — RESULTS.md),
-#   - eval episode_len 400 (reference SIM_TASK_CONFIGS protocol,
-#     aloha_constants.py:5-33) so a policy that executes the transfer more
-#     slowly than the 150-step scripted expert still gets scored.
+# LDP -> eval). Round-4 (v2) recipe changes over the round-3 run:
+#   - DART-style demo mixture: clean demos plus block-held noise-injected
+#     segments (sigma 0.003 / 0.005, draw held 10 steps — the reference's
+#     collect_aloha_scripted_demos.py inject_noise perturbs interpolation
+#     waypoints, i.e. low-frequency). The state-feedback expert's
+#     corrections back to the nominal trajectory land IN the data, so a
+#     policy that drifts or misses the grasp sees recovery supervision —
+#     round-3 demos were narrow clean successes and the closed-loop policy
+#     continued the carry open-loop after a missed grasp (~4% success).
+#   - noisy segments run 250-step episodes so expert retries fit; only
+#     successful episodes are kept (yield: 100% / ~95% / ~78%).
+#   - 256-dim VAE latents, measured normalization bounds, x0-prediction
+#     planner, eval episode_len 400 — unchanged from round 3 (RESULTS.md).
 set -e
 cd "$(dirname "$0")/.."
-RUN=${RUN:-aloha_phys}
+RUN=${RUN:-aloha_phys2}
 STEPS=${STEPS:-60000}
 ENV=latent_diffusion_planning_tpu.envs.aloha_cube.AlohaTransferCubeEnv
-DATA=datasets/aloha_cube_phys
+DATA=datasets/aloha_cube_phys2
+SEGS="$DATA/demos.hdf5,$DATA/demos_n3.hdf5,$DATA/demos_n5.hdf5"
+LATS="$DATA/demos_latent.hdf5,$DATA/demos_n3_latent.hdf5,$DATA/demos_n5_latent.hdf5"
 python tools/collect_demos.py env._target_=$ENV \
-  n_episodes=256 episode_len=150 out_path=$DATA/demos.hdf5 seed=0
+  n_episodes=128 episode_len=150 out_path=$DATA/demos.hdf5 seed=0
+python tools/collect_demos.py env._target_=$ENV \
+  n_episodes=288 episode_len=250 noise=0.003 noise_hold=10 \
+  out_path=$DATA/demos_n3.hdf5 seed=1
+python tools/collect_demos.py env._target_=$ENV \
+  n_episodes=320 episode_len=250 noise=0.005 noise_hold=10 \
+  out_path=$DATA/demos_n5.hdf5 seed=2
 python tools/collect_demos.py env._target_=$ENV \
   n_episodes=32 episode_len=150 out_path=$DATA/demos_eval.hdf5 seed=77
 python tools/train_vae.py data=aloha_cube/wrist \
-  data.train_path=$DATA/demos.hdf5 \
+  "data.train_path=[$SEGS]" \
   data.eval_path=$DATA/demos_eval.hdf5 \
   'model.vae.block_out_channels=[128,128]' model.vae.patch_size=4 \
   model.vae.norm_groups=32 \
@@ -33,9 +43,12 @@ python tools/train_vae.py data=aloha_cube/wrist \
 python tools/process_latents.py vae_snapshot_path=experiments/$RUN/vae/ckpt/4000.ckpt \
   'vae.block_out_channels=[128,128]' vae.patch_size=4 vae.norm_groups=32 \
   'rgb_keys=[wrist64_image]' \
-  "src_paths=[$DATA/demos.hdf5,$DATA/demos_eval.hdf5]" \
-  "dst_paths=[$DATA/demos_latent.hdf5,$DATA/demos_eval_latent.hdf5]"
+  "src_paths=[$SEGS,$DATA/demos_eval.hdf5]" \
+  "dst_paths=[$LATS,$DATA/demos_eval_latent.hdf5]"
 python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
+  "data.train_path=[$SEGS]" "data.train_latent_path=[$LATS]" \
+  data.eval_path=$DATA/demos_eval.hdf5 \
+  data.eval_latent_path=$DATA/demos_eval_latent.hdf5 \
   'model_vae.block_out_channels=[128,128]' model_vae.patch_size=4 \
   model_vae.norm_groups=32 \
   agent.vae_pretrain_path=experiments/$RUN/vae/ckpt/4000.ckpt \

@@ -16,10 +16,10 @@ if [ -f /tmp/aloha_phys.pid ]; then
   while kill -0 "$(cat /tmp/aloha_phys.pid)" 2>/dev/null; do sleep 60; done
 fi
 
-if [ -d experiments/aloha_phys/ldp/ckpt ]; then
-  python tools/eval_bc.py run_dir=experiments/aloha_phys/ldp \
+if [ -d experiments/aloha_phys2/ldp/ckpt ]; then
+  python tools/eval_bc.py run_dir=experiments/aloha_phys2/ldp \
     n_eval_episodes=256 > logs/aloha_sweep.log 2>&1 || true
-  python tools/snapshot_run.py experiments/aloha_phys/ldp
+  python tools/snapshot_run.py experiments/aloha_phys2/ldp
 fi
 
 RUN=pipeline3 bash tools/run_lift_pipeline.sh > logs/pipeline3_r4.log 2>&1
