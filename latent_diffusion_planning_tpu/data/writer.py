@@ -24,6 +24,7 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
                        successful_only: bool = False,
                        unsuccessful_only: bool = False,
                        max_demos: int | None = None,
+                       trim_success_margin: int | None = None,
                        image_keys: tuple[str, ...] = ()) -> int:
     """Write collected episodes; returns the number of demos written.
 
@@ -33,6 +34,15 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
     Any obs key ending in ``_image`` (plus explicit ``image_keys``) is
     stored uint8 like the reference's recorded datasets — at the 480x640
     viz-camera resolutions float32 storage would 4x every demo file.
+
+    ``trim_success_margin``: cut each successful episode ``margin`` steps
+    after its FIRST success instead of storing the full rectangular rollout.
+    Device collection runs fixed-length scans (no early stop), so a 65-step
+    task recorded at 250 steps is 74% static terminal-hold frames — a
+    uniform window sampler then trains mostly on "hold still", and the
+    planner learns persistence plans (the round-4 ALOHA stall-at-hover
+    failure). The reference never faced this because its demos end at the
+    episode cap the expert was tuned to (aloha_constants.py episode_len).
     """
     assert not (successful_only and unsuccessful_only)
     path = Path(path)
@@ -60,11 +70,14 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
         for d, i in enumerate(idxs):
             g = data.create_group(f"demo_{d}")
             T = actions.shape[1]
+            if trim_success_margin is not None and success[i].any():
+                T = min(T, int(np.argmax(success[i])) + 1
+                        + int(trim_success_margin))
             g.attrs["num_samples"] = T
             obs_g = g.create_group("obs")
             next_g = g.create_group("next_obs")
             for k in obs:
-                stream_next = np.asarray(obs[k][i])          # (T, ...)
+                stream_next = np.asarray(obs[k][i][:T])      # (T, ...)
                 stream_obs = np.concatenate(
                     [np.asarray(first[k][i])[None], stream_next[:-1]], axis=0)
                 if k in image_keys or (k.endswith("_image")
@@ -73,7 +86,7 @@ def write_trajectories(path: str | Path, collection: Mapping[str, Any], *,
                     stream_next = np.clip(stream_next, 0, 255).astype(np.uint8)
                 obs_g.create_dataset(k, data=stream_obs)
                 next_g.create_dataset(k, data=stream_next)
-            g.create_dataset("actions", data=actions[i].astype(np.float32))
-            g.create_dataset("rewards", data=rewards[i].astype(np.float32))
-            g.create_dataset("dones", data=success[i].astype(np.int64))
+            g.create_dataset("actions", data=actions[i][:T].astype(np.float32))
+            g.create_dataset("rewards", data=rewards[i][:T].astype(np.float32))
+            g.create_dataset("dones", data=success[i][:T].astype(np.int64))
     return len(idxs)

@@ -419,6 +419,7 @@ def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
                             episode_len: int | None = None,
                             noise: float = 0.0,
                             noise_hold: int = 1,
+                            clean_labels: bool = False,
                             host_loop: bool | None = None) -> dict:
     """Roll out the env's built-in scripted expert (env.scripted_action).
 
@@ -438,6 +439,17 @@ def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
     state-feedback corrections back to it. ``noise_hold=1`` reproduces the
     old white-noise draws bit-exactly.
 
+    ``clean_labels``: record the expert's NOISE-FREE action as the dataset
+    label while EXECUTING the perturbed one (true DART semantics,
+    Laskey et al. 2017). Recording the executed noisy action teaches a
+    *generative* policy to reproduce the injected jitter — diffusion
+    policies model the action distribution rather than average it, so
+    executed-action DART data made the round-4 ALOHA policy 10x jitterier
+    than the expert at exactly the 1 cm grasp funnel. With clean labels the
+    perturbation only widens the STATE distribution and every label is the
+    expert's deterministic correction from that state. Same rng tree as
+    ``clean_labels=False`` → bit-identical executed trajectories.
+
     ``host_loop``: jit one vmapped env step and loop timesteps in Python
     instead of fusing the whole episode into a single lax.scan program.
     Identical results (same rng tree); the scan is the TPU-first default,
@@ -451,10 +463,10 @@ def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
         host_loop = jax.default_backend() == "cpu"
     if host_loop:
         out = _scripted_hostloop(env, n_episodes, episode_len, float(noise),
-                                 int(noise_hold), rng)
+                                 int(noise_hold), bool(clean_labels), rng)
     else:
         out = _scripted_jit(env, n_episodes, episode_len, float(noise),
-                            int(noise_hold), rng)
+                            int(noise_hold), bool(clean_labels), rng)
     return jax.device_get(out)
 
 
@@ -465,19 +477,34 @@ def _collection_step_rngs(act_rng, episode_len, noise_hold):
     return jnp.repeat(block_rngs, noise_hold, axis=0)[:episode_len]
 
 
-def _scripted_hostloop(env, n_episodes, episode_len, noise, noise_hold, rng):
+def _scripted_step_body(env, noise, clean_labels, states, t_rng, n_episodes):
+    """One scripted-expert step: clean action + (held) noise draw; the
+    RECORDED action is the clean label under clean_labels, else the
+    executed one. Same rng tree as the pre-clean_labels code (the draw
+    moved out of scripted_action onto the identical per-env key)."""
+    a_rngs = jax.random.split(t_rng, n_episodes)
+    clean = jax.vmap(env.scripted_action)(states)
+    executed = clean
+    if noise > 0.0:
+        draw = noise * jax.vmap(
+            lambda r: jax.random.normal(r, clean.shape[1:]))(a_rngs)
+        executed = clean + draw
+    recorded = clean if clean_labels else executed
+    new_states, new_obs, r, s = jax.vmap(env.step)(states, executed)
+    return new_states, dict(obs=new_obs, action=recorded, reward=r,
+                            success=s)
+
+
+def _scripted_hostloop(env, n_episodes, episode_len, noise, noise_hold,
+                       clean_labels, rng):
     reset_rng, act_rng = jax.random.split(rng)
     states, obs = jax.jit(jax.vmap(env.reset))(
         jax.random.split(reset_rng, n_episodes))
 
     @jax.jit
     def step(states, t_rng):
-        a_rngs = jax.random.split(t_rng, n_episodes)
-        actions = jax.vmap(lambda s, r: env.scripted_action(s, r, noise))(
-            states, a_rngs)
-        new_states, new_obs, r, s = jax.vmap(env.step)(states, actions)
-        return new_states, dict(obs=new_obs, action=actions, reward=r,
-                                success=s)
+        return _scripted_step_body(env, noise, clean_labels, states, t_rng,
+                                   n_episodes)
 
     frames = []
     for t_rng in _collection_step_rngs(act_rng, episode_len, noise_hold):
@@ -489,19 +516,15 @@ def _scripted_hostloop(env, n_episodes, episode_len, noise, noise_hold, rng):
                 rewards=traj["reward"], success=traj["success"])
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
-def _scripted_jit(env, n_episodes, episode_len, noise, noise_hold, rng):
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
+def _scripted_jit(env, n_episodes, episode_len, noise, noise_hold,
+                  clean_labels, rng):
     reset_rng, act_rng = jax.random.split(rng)
     states, obs = jax.vmap(env.reset)(jax.random.split(reset_rng, n_episodes))
 
     def step(carry, t_rng):
-        states = carry
-        a_rngs = jax.random.split(t_rng, n_episodes)
-        actions = jax.vmap(lambda s, r: env.scripted_action(s, r, noise))(
-            states, a_rngs)
-        new_states, new_obs, r, s = jax.vmap(env.step)(states, actions)
-        return new_states, dict(obs=new_obs, action=actions, reward=r,
-                                success=s)
+        return _scripted_step_body(env, noise, clean_labels, carry, t_rng,
+                                   n_episodes)
 
     _, traj = jax.lax.scan(step, states,
                            _collection_step_rngs(act_rng, episode_len,

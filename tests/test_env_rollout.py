@@ -301,3 +301,53 @@ def test_collection_step_rngs_block_structure():
     k1 = np.asarray(_collection_step_rngs(jax.random.PRNGKey(0), 6, 1))
     ref = np.asarray(jax.random.split(jax.random.PRNGKey(0), 6))
     assert (k1 == ref).all()
+
+
+def test_clean_labels_same_states_clean_actions():
+    """clean_labels=True: identical executed trajectories (same rng tree),
+    recorded actions are the expert's noise-free labels."""
+    env = LiftEnv(render_images=False, episode_len=12)
+    rng = jax.random.PRNGKey(7)
+    noisy = engine.run_scripted_collection(env, 4, rng, episode_len=12,
+                                           noise=0.05, noise_hold=3)
+    clean = engine.run_scripted_collection(env, 4, rng, episode_len=12,
+                                           noise=0.05, noise_hold=3,
+                                           clean_labels=True)
+    # same executed path -> same visited obs / rewards
+    for k in clean["obs"]:
+        np.testing.assert_allclose(np.asarray(clean["obs"][k]),
+                                   np.asarray(noisy["obs"][k]), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(clean["rewards"]),
+                               np.asarray(noisy["rewards"]), atol=1e-6)
+    # labels differ from the executed-noisy recording by the injected draw
+    diff = np.asarray(noisy["actions"]) - np.asarray(clean["actions"])
+    assert np.abs(diff).max() > 1e-3
+    # the held draw is constant within noise_hold blocks
+    np.testing.assert_allclose(diff[:, 0], diff[:, 1], atol=1e-6)
+    np.testing.assert_allclose(diff[:, 0], diff[:, 2], atol=1e-6)
+    assert np.abs(diff[:, 2] - diff[:, 3]).max() > 1e-4
+
+
+def test_writer_trim_success_margin(env, tmp_path):
+    from latent_diffusion_planning_tpu.data import ingest
+    from latent_diffusion_planning_tpu.data.writer import write_trajectories
+
+    out = engine.run_scripted_collection(env, 4, jax.random.PRNGKey(4),
+                                         episode_len=60)
+    succ = np.asarray(out["success"])
+    assert succ.any(axis=1).all()
+    first = succ.argmax(axis=1)
+    n = write_trajectories(tmp_path / "trim.hdf5", out,
+                           env_meta={"env_name": "DeviceLift"},
+                           successful_only=True, trim_success_margin=5)
+    import h5py
+    with h5py.File(tmp_path / "trim.hdf5", "r") as f:
+        for d, i in enumerate(np.nonzero(succ.any(axis=1))[0]):
+            g = f["data"][f"demo_{d}"]
+            want = min(60, int(first[i]) + 1 + 5)
+            assert g.attrs["num_samples"] == want
+            assert g["actions"].shape[0] == want
+            assert g["obs/robot0_eef_pos"].shape[0] == want
+    # variable-length demos weld fine
+    w = ingest.load_robomimic(tmp_path / "trim.hdf5", ["robot0_eef_pos"])
+    assert w.n_demos == n

@@ -31,7 +31,8 @@ def main(argv=None) -> None:
     rng = jax.random.PRNGKey(cfg.get("seed", 0))
     out = engine.run_scripted_collection(
         env, cfg.n_episodes, rng, episode_len=cfg.get("episode_len"),
-        noise=cfg.get("noise", 0.0), noise_hold=cfg.get("noise_hold", 1))
+        noise=cfg.get("noise", 0.0), noise_hold=cfg.get("noise_hold", 1),
+        clean_labels=cfg.get("clean_labels", False))
     env_kwargs = {k: v for k, v in cfg.env.items() if k != "_target_"}
     if cfg.get("episode_len"):
         # the rollout override is the TRUE episode length of these demos —
@@ -42,7 +43,8 @@ def main(argv=None) -> None:
         cfg.out_path, out,
         env_meta={"env_name": type(env).__name__, "env_kwargs": env_kwargs},
         successful_only=cfg.get("successful_only", True),
-        max_demos=cfg.get("max_demos"))
+        max_demos=cfg.get("max_demos"),
+        trim_success_margin=cfg.get("trim_success_margin"))
     import numpy as np
     sr = float(np.asarray(out["success"]).any(axis=1).mean())
     print(f"wrote {n} demos to {cfg.out_path} (expert success {sr:.1%})")
