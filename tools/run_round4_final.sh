@@ -1,19 +1,16 @@
 #!/bin/bash
-# Round-4 FINAL queue — single chip, strictly sequential, deadline-aware.
-# Replaces queue2/queue3 (which would have double-run the same stages and
-# collided with the in-flight phys3 pipeline on the chip).
-#
-# Every stage is gated on (a) its prerequisite artifacts and (b) enough
-# wall-clock left before DEADLINE_TS; the last admitted stage is clamped
-# with `timeout` so the chip is free when the driver's bench capture runs.
-# Priority order = VERDICT r3: phys3 eval (#1) -> lift pipeline (prereq)
-# -> mixed study (#2) -> roundtrip (#6, cheap) -> baselines (#4) -> can (#3,
-# only if a large window remains).
+# Round-4 FINAL queue (v2) — single chip, strictly sequential, deadline-aware.
+# Rewritten after the phys3 result landed (3.1% @64 eps, mean reward 3.1/4.0:
+# the policy climbs the whole contact-reward ladder and fails the last
+# stage): mini knob-sweep + diagnosis evidence on phys3, then the VERDICT
+# stages in value-per-minute order. Every stage is gated on remaining
+# wall-clock and watchdog-killed at DEADLINE_TS so the chip is free for the
+# driver's bench capture.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs
 
-DEADLINE_TS=${DEADLINE_TS:-1787131500}
+DEADLINE_TS=${DEADLINE_TS:-1787131800}
 left() { echo $(( DEADLINE_TS - $(date +%s) )); }
 # notes tee into a dedicated file because stage stdout is redirected per-stage
 note() { echo "[queue4 $(date +%H:%M:%S)] $*" | tee -a logs/queue_r4final.notes; }
@@ -52,62 +49,57 @@ admit() {
   return 0
 }
 
-# ---- 0. wait out the in-flight phys3 pipeline --------------------------
-if [ -f /tmp/phys3.pid ]; then
-  pid=$(cat /tmp/phys3.pid 2>/dev/null || echo "")
-  while [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null; do sleep 30; done
-fi
-note "phys3 pipeline done"
+PHYS3=experiments/aloha_phys3/ldp
 
-# ---- 1. phys3 eval at the VERDICT protocol (256 eps) -------------------
-if [ -d experiments/aloha_phys3/ldp/ckpt ]; then
-  admit phys3_eval 600 python tools/eval_bc.py run_dir=experiments/aloha_phys3/ldp \
-    'ckpt_steps=[30000,40000,50000,60000]' n_eval_episodes=256 \
-    > logs/aloha_phys3_eval256.log 2>&1 || true
-  python tools/snapshot_run.py experiments/aloha_phys3/ldp || true
-  best=$(python - <<'PYEOF'
-import csv
-try:
-    rows = list(csv.DictReader(
-        open("experiments/aloha_phys3/ldp/eval_sweep/eval.csv")))
-    print(max((float(r["success"]) for r in rows if r.get("success")), default=0.0))
-except Exception:
-    print(0.0)
-PYEOF
-)
-  note "phys3 best success=$best"
-  # partial success -> eval-knob sweep can push it over; total failure ->
-  # record the diagnosis evidence instead and move on
-  if python -c "exit(0 if 0.02 < $best < 0.5 else 1)"; then
-    admit phys3_sweep 900 env RUN=aloha_phys3 CKPT_STEP=60000 N_EVAL=256 \
-      bash tools/run_aloha_knob_sweep.sh > logs/aloha_phys3_sweep.log 2>&1 || true
-    python tools/snapshot_run.py experiments/aloha_phys3/ldp || true
-  fi
-fi
+# ---- 1. phys3 at the VERDICT protocol: 256 eps on the 2 best ckpts ------
+admit phys3_eval 420 python tools/eval_bc.py run_dir=$PHYS3 \
+  'ckpt_steps=[50000,60000]' n_eval_episodes=256 \
+  > logs/aloha_phys3_eval256.log 2>&1 || true
 
-# ---- 2. lift pipeline (prereq for 3/5; refreshes assets/bench) ----------
-admit pipeline3 1700 env RUN=pipeline3 bash tools/run_lift_pipeline.sh \
+# ---- 2. mini knob-sweep: the 3 highest-value eval-time levers -----------
+sweep_one() {
+  local label=$1; shift
+  python tools/eval_bc.py run_dir=$PHYS3 n_eval_episodes=256 \
+    'ckpt_steps=[60000]' "$@" 2>&1 | grep -E "ckpt [0-9]+:" | sed "s/^/[$label] /"
+}
+mini_sweep() {
+  sweep_one ddim50 agent.planner_inference_steps=50 agent.idm_inference_steps=50
+  sweep_one ah8 eval_action_horizon=8
+  sweep_one ah1_blend07 eval_action_horizon=1 plan_blend=0.7
+}
+admit phys3_minisweep 480 mini_sweep > logs/aloha_phys3_sweep.log 2>&1 || true
+python tools/snapshot_run.py $PHYS3 || true
+
+# ---- 3. last-stage diagnosis evidence (side-by-side vs the expert) ------
+admit phys3_diag 360 python tools/diag_aloha.py run_dir=$PHYS3 \
+  ckpt_step=60000 n_episodes=8 out_dir=assets/runs/aloha_phys3/diag \
+  > logs/aloha_phys3_diag.log 2>&1 || true
+
+# ---- 4. lift pipeline (prereq for 5/7; refreshes assets/bench) ----------
+admit pipeline3 1500 env RUN=pipeline3 bash tools/run_lift_pipeline.sh \
   > logs/pipeline3_r4.log 2>&1 || true
 
 if [ -d experiments/pipeline3/vae/ckpt/4000.ckpt ]; then
-  # ---- 3. mixed-data study at 512-episode evals (VERDICT #2) -----------
-  # est = subopt corpus + ~2 arms: the script is per-arm idempotent and the
-  # timeout clamp snapshots partial evidence, so a clamped run still pays
-  admit mixed_study 1800 bash tools/run_lift_mixed_study.sh \
+  # ---- 5. mixed-data study, 20k arms + 512-episode evals (VERDICT #2) --
+  # (relative comparison between arms is the claim; 20k is past the round-2
+  # 78%-success point on physics Lift, and the per-arm guards + watchdog
+  # snapshots keep partial evidence if clamped)
+  admit mixed_study 1500 env STEPS=20000 bash tools/run_lift_mixed_study.sh \
     > logs/mixed_study_r4.log 2>&1 || true
-  # ---- 4. checkpoint round trip (VERDICT #6, cheap) --------------------
-  admit roundtrip 700 bash tools/run_roundtrip_check.sh \
+  # ---- 6. checkpoint round trip (VERDICT #6, cheap, completes fully) ----
+  admit roundtrip 500 bash tools/run_roundtrip_check.sh \
     > logs/roundtrip.log 2>&1 || true
-  # ---- 5. baselines matrix at a 20k budget (VERDICT #4) ----------------
-  admit baselines 800 env STEPS=20000 bash tools/run_lift_baselines.sh \
+  # ---- 7. baselines matrix at 20k (VERDICT #4; DP arm first — the
+  #         reference's default agent is the valuable one if clamped) -----
+  admit baselines 600 env STEPS=20000 bash tools/run_lift_baselines.sh \
     > logs/baselines_r4.log 2>&1 || true
 fi
 
-# ---- 6. contact-physics Can pipeline (VERDICT #3, big window only) -----
+# ---- 8. contact-physics Can pipeline (VERDICT #3, big window only) ------
 admit can_pipeline 2600 bash tools/run_can_pipeline.sh \
   > logs/can_pipeline.log 2>&1 || true
 
-# final sweep: persist whatever the timeout clamp cut off
+# final sweep: persist whatever the deadline clamp cut off
 for d in experiments/*/; do
   for r in "$d"*/; do
     [ -f "$r/config.yaml" ] && python tools/snapshot_run.py "$r" || true
