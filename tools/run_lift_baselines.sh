@@ -13,7 +13,8 @@
 # divisible by the U-Net downsample factor (4): horizon=8 == pred_horizon.
 # LDP-hier keeps horizon=9 (planner predicts 8 future latents).
 set -e
-shopt -s nullglob
+# NOTE: nullglob must stay scoped to the snapshot glob below — enabling it
+# globally deletes every unquoted bracket arg (down_dims=[...]) from $COMMON.
 cd "$(dirname "$0")/.."
 RUN=${RUN:-baselines}
 STEPS=${STEPS:-30000}
@@ -67,7 +68,9 @@ fi
 
 # persist the small evidence artifacts into the tracked tree (experiments/
 # is gitignored and wiped between build sessions)
-python tools/snapshot_run.py experiments/$RUN/*/
+shopt -s nullglob
+for d in experiments/$RUN/*/; do python tools/snapshot_run.py "$d"; done
+shopt -u nullglob
 
 python - <<'PYEOF'
 import csv, glob

@@ -14,7 +14,8 @@
 # Prereq: experiments/pipeline3 artifacts (VAE + LDP on physics Lift) and
 # datasets/lift/demos*.hdf5 from tools/run_lift_pipeline.sh.
 set -e
-shopt -s nullglob
+# NOTE: nullglob must stay scoped to the snapshot glob below — enabling it
+# globally deletes every unquoted bracket arg (down_dims=[...]) from $COMMON.
 cd "$(dirname "$0")/.."
 RUN=${RUN:-mixed_study}
 N_EXPERT=${N_EXPERT:-8}
@@ -78,7 +79,9 @@ fi
 
 # persist the small evidence artifacts into the tracked tree (experiments/
 # is gitignored and wiped between build sessions)
-python tools/snapshot_run.py experiments/$RUN/*/
+shopt -s nullglob
+for d in experiments/$RUN/*/; do python tools/snapshot_run.py "$d"; done
+shopt -u nullglob
 
 python - <<'PYEOF'
 import csv, glob, math
