@@ -146,7 +146,10 @@ class OfflineData:
             path, latent_path, n_demos = self._paths[split]
             # list-valued paths weld several collections into one dataset
             # (e.g. clean + DART noise-injected demo segments); latent
-            # companions pair up positionally
+            # companions pair up positionally. NOTE: n_demos caps each
+            # welded PART (total ≤ n_demos * len(paths)) — per-source caps
+            # are the useful knob for mixture studies (cap the clean and
+            # the DART segments symmetrically), not a global budget
             paths = path if isinstance(path, (list, tuple)) else [path]
             lats = _as_list(latent_path, len(paths))
             parts = [
@@ -184,10 +187,23 @@ class OfflineData:
 
 
 def _as_list(x, n: int) -> list:
+    """Broadcast None to n slots; require explicit lists to match exactly.
+
+    A scalar path only broadcasts when n == 1 — a scalar latent companion
+    for a multi-file weld is ambiguous (which part does it pair with?), and
+    a short list would silently truncate the weld via zip (ADVICE r4)."""
     if x is None:
         return [None] * n
     if isinstance(x, (list, tuple)):
+        if len(x) != n:
+            raise ValueError(
+                f"path list length mismatch: got {len(x)} entries for "
+                f"{n} welded parts — latent companions pair positionally")
         return list(x)
+    if n != 1:
+        raise ValueError(
+            f"scalar path cannot pair with a {n}-file weld — pass a "
+            f"matching list of latent companions")
     return [x]
 
 

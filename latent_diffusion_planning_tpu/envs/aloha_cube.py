@@ -42,15 +42,23 @@ from .physics import kinematics as K
 CUBE_HALF = 0.02
 CUBE_MASS = 0.05
 PAD_RADIUS = 0.008
-# pad half-gap along the gripper y-axis: fully open clears the cube by
-# 17 mm; fully closed squeezes 3 mm past kissing contact (the penalty
-# penetration that generates the grip normal force). The 3 mm margin also
-# sets the width of the both-pads-contact funnel along the finger axis —
-# round-3's 1.8 mm survived clean rollouts but collapsed under DART noise
-# injection (the bimanual handoff died in >50% of episodes); 3 mm restores
-# a compliant-finger-like capture range (measured: 94.9% expert success at
-# sigma=0.003 block-held noise vs 23% at 1.8 mm/narrow tolerances).
-FINGER_MAX_HALFGAP = 0.045
+# pad half-gap along the gripper y-axis, matched to the REAL ViperX finger
+# slide kinematics (aloha_constants: puppet slide travels CLOSE=0.01844 →
+# OPEN=0.05800 m of half-gap): pad *centers* ride at slide + PAD_RADIUS so
+# the pad inner surface tracks the physical finger face. Fully closed
+# squeezes 3 mm past kissing contact on the 4 cm cube (the penalty
+# penetration that generates the grip normal force; also the width of the
+# both-pads capture funnel along the finger axis — round-3's 1.8 mm
+# collapsed under DART noise, 3 mm measured 94.9% expert success at
+# sigma=0.003). Crucially the real slide slope (~0.041 m per normalized
+# unit) keeps the START_ARM_POSE gripper (0.0998 normalized ≈ 4.5 cm real
+# finger gap) OUT of contact with a cube at the grasp point: contact — and
+# therefore every reward stage — requires a deliberate squeeze below
+# grip≈0.073, exactly the reference's touch-requires-contact semantics
+# (alohasim_env.py:145-167). Round-4's 0.045 max-gap slope put the reset
+# grip 1 mm INTO contact and over-credited proximity as touch
+# (tests/test_aloha.py::test_reward_ladder).
+FINGER_MAX_HALFGAP = PAD_RADIUS + C.PUPPET_GRIPPER_POSITION_OPEN   # 0.066
 FINGER_MIN_HALFGAP = CUBE_HALF + PAD_RADIUS - 0.003
 GRIP_RATE = 0.25          # normalized grip travel per control step
 MEET = jnp.asarray([0.0, 0.5, 0.25])

@@ -50,14 +50,17 @@ def _pack_scene(scene: R.Scene) -> jnp.ndarray:
 
 def _render_kernel(n_prims: int, n_convex: int, n_planes: int,
                    plane_params_ref, scene_ref, origin_ref,
-                   dirs_ref, out_ref, *maybe_hs_ref):
+                   dirs_ref, *hs_and_out):
     """One pixel band, channels-first: dirs (3, TILE_H, W) → rgb (3, T, W).
 
     Prims [0, n_convex) are convex polytopes (mesh-accurate k-DOPs): their
-    body-frame half-spaces live in ``maybe_hs_ref[0]`` as (P, n_planes*4)
-    rows and replace the slab/quadric test with a generalized slab loop.
+    body-frame half-spaces arrive as an extra (P, n_planes*4) input ref and
+    replace the slab/quadric test with a generalized slab loop. pallas_call
+    binds ALL input refs before the output ref, so the trailing args are
+    (hs_ref, out_ref) in convex mode and (out_ref,) otherwise.
     """
-    hs_ref = maybe_hs_ref[0] if n_convex else None
+    hs_ref = hs_and_out[0] if n_convex else None
+    out_ref = hs_and_out[-1]
     dx = dirs_ref[0, :, :]
     dy = dirs_ref[1, :, :]
     dz = dirs_ref[2, :, :]

@@ -68,9 +68,10 @@ def _camera_rays(cam: Camera, height: int, width: int):
     fwd = fwd / jnp.linalg.norm(fwd)
     right = jnp.cross(fwd, cam.up)
     # degenerate look-at (view direction parallel to up, e.g. a straight-down
-    # overhead camera): fall back to +y as the up hint — otherwise the basis
-    # normalizes 0/0 and the whole frame renders NaN
-    alt = jnp.cross(fwd, jnp.asarray([0.0, 1.0, 0.0], fwd.dtype))
+    # overhead camera): fall back to the world axis LEAST aligned with fwd —
+    # a fixed +y hint is itself degenerate for ±y view directions (ADVICE r4)
+    axis = jnp.argmin(jnp.abs(fwd))
+    alt = jnp.cross(fwd, jax.nn.one_hot(axis, 3, dtype=fwd.dtype))
     right = jnp.where(jnp.linalg.norm(right) > 1e-6, right, alt)
     right = right / jnp.linalg.norm(right)
     down = jnp.cross(fwd, right)

@@ -111,8 +111,13 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     the ``action_horizon`` steps already executed); non-overlapping steps use
     the new plan untouched. With ``action_horizon=1`` this recursion is an
     exponentially-weighted ensemble over all past plans — the smoothing used
-    by ACT-family bimanual policies. 0 (default) disables it.
+    by ACT-family bimanual policies. 0 (default) disables it. With blending
+    on, ``policy`` must return a plain action array (the eval_shape-based
+    prev-plan slot can't size a (action, metrics) tuple).
     """
+    assert 0.0 <= plan_blend < 1.0, (
+        f"plan_blend must be in [0, 1): {plan_blend} would freeze the "
+        f"first plan forever (weight on new plans vanishes)")
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
     if episode_seeds is None:
@@ -145,7 +150,8 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
         "success": float(out["success"].mean()),
         "reward": float(out["reward"].mean()),
         "horizon": float(out["horizon"].mean()),
-        "avg_reward": float((out["reward"] / np.maximum(out["horizon"], 1)).mean()),
+        "avg_reward": float((out["reward_sum"]
+                             / np.maximum(out["horizon"], 1)).mean()),
         "n_episodes": n_episodes,
     }
     result = {"metrics": metrics, "per_episode": {
@@ -198,6 +204,7 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
         done=jnp.zeros((n_episodes,), bool),
         success=jnp.zeros((n_episodes,), bool),
         reward=jnp.zeros((n_episodes,)),
+        reward_sum=jnp.zeros((n_episodes,)),
         steps=jnp.zeros((n_episodes,), jnp.int32))
     if plan_blend > 0.0:
         # shape of one policy plan, for free (no compute) — the carry slot
@@ -241,7 +248,15 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
             # exceptions as episode termination, aloha_env_utils.py:112-116):
             # a non-finite reward or eef-adjacent state ends the episode
             finite = jnp.isfinite(r)
-            reward = carry["reward"] + jnp.where(done | ~finite, 0.0, r)
+            # episode reward = MAX per-step reward (the reference's episode
+            # convention: ALOHA records the highest ladder stage reached,
+            # aloha_env_utils.py episode_highest_reward; robomimic's sparse
+            # 0/1 reward makes max == the old sum at first-success
+            # termination). A running sum crossed 4.0 on the 0-4 ladder and
+            # made eval.csv unreadable against max_reward (VERDICT r4).
+            r_live = jnp.where(done | ~finite, 0.0, r)
+            reward = jnp.maximum(carry["reward"], r_live)
+            reward_sum = carry["reward_sum"] + r_live
             steps = carry["steps"] + jnp.where(done, 0, 1)
             success = carry["success"] | (~done & s & finite)
             new_done = done | s | ~finite | (steps >= episode_len)
@@ -252,11 +267,13 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
             else:
                 frame = jnp.zeros((0,))
             return dict(states=states, history=history, done=new_done,
-                        success=success, reward=reward, steps=steps), frame
+                        success=success, reward=reward,
+                        reward_sum=reward_sum, steps=steps), frame
 
         # the inner act-scan carries only the stepping state; ensemble slots
         # (prev_plan/first) ride the outer decision carry untouched
-        step_keys = ("states", "history", "done", "success", "reward", "steps")
+        step_keys = ("states", "history", "done", "success", "reward",
+                     "reward_sum", "steps")
         inner, frames = jax.lax.scan(act, {k: carry[k] for k in step_keys},
                                      jnp.swapaxes(actions, 0, 1))
         return dict(carry, **inner), frames
@@ -264,7 +281,7 @@ def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
     d_rngs = jax.random.split(policy_rng, n_decisions)
     final, frames = jax.lax.scan(decision, init, d_rngs)
     out = dict(success=final["success"], reward=final["reward"],
-               horizon=final["steps"])
+               reward_sum=final["reward_sum"], horizon=final["steps"])
     if video_envs > 0:
         # (n_decisions, action_horizon, K, H, W, C) -> (K, T, H, W, C)
         T = n_decisions * action_horizon

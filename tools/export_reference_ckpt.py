@@ -23,6 +23,7 @@ Round-trip guarantee: import_reference_ckpt.convert() on the exported
 snapshot reproduces the source trees bit-exactly (tests/test_transfer.py).
 """
 
+import ast
 import sys
 from pathlib import Path
 
@@ -59,8 +60,9 @@ def main(argv=None) -> None:
     args = dict(a.split("=", 1) for a in (argv or sys.argv[1:]))
     src = Path(args["src"])
     dst = Path(args.get("dst", "exported_ckpt"))
-    down_dims = eval(args.get("planner_down_dims", "[256, 512, 1024]"))  # noqa: S307
-    block_out = eval(args.get("vae_block_out_channels", "None"))  # noqa: S307
+    down_dims = ast.literal_eval(args.get("planner_down_dims",
+                                          "[256, 512, 1024]"))
+    block_out = ast.literal_eval(args.get("vae_block_out_channels", "None"))
     export_vae = args.get("export_vae", "false").lower() == "true"
 
     snapshot = Checkpointer(src.parent).restore_raw(src)
