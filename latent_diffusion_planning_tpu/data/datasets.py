@@ -25,7 +25,20 @@ import jax
 import numpy as np
 
 from . import ingest
-from .windows import DeviceDataset, MixedDeviceDataset, sample_traj
+from .windows import (DeviceDataset, MixedDeviceDataset, action_event_weights,
+                      sample_traj)
+
+
+def _event_weights(welded, oversample):
+    """Resolve an ``oversample`` config block to per-step weights.
+
+    ``oversample: {channels: [6, 13], boost: 3.0, halfwidth: 8}`` upweights
+    windows near action events on the listed channels (see
+    windows.action_event_weights). Applied to the TRAIN sampler only."""
+    kw = dict(oversample)
+    return action_event_weights(welded, channels=list(kw.pop("channels")),
+                                **{k: float(v) if k == "boost" else int(v)
+                                   for k, v in kw.items()})
 
 
 def _loader(fmt: str):
@@ -106,6 +119,7 @@ class OfflineData:
                  device_put: bool = True,
                  stats_from_data: Sequence[str] | None = None,
                  stats_pad: float = 0.05,
+                 oversample: Mapping[str, Any] | None = None,
                  # accepted for config parity; prefetch is on-device now
                  n_workers: int = 0, prefetch_factor: int = 0):
         self.name = name
@@ -117,6 +131,7 @@ class OfflineData:
         self.format = format
         self.seed = seed
         self.device_put = device_put
+        self.oversample = oversample
         self._paths = dict(train=(train_path, train_latent_path,
                                   train_n_episode_overfit),
                            eval=(eval_path, eval_latent_path,
@@ -164,9 +179,12 @@ class OfflineData:
 
     def device_dataset(self, split: str) -> DeviceDataset:
         if split not in self._device:
+            weights = (_event_weights(self.welded(split), self.oversample)
+                       if self.oversample and split == "train" else None)
             self._device[split] = DeviceDataset.from_welded(
                 self.welded(split), frame_stack=self.obs_horizon,
-                seq_length=self.seq_length, device_put=self.device_put)
+                seq_length=self.seq_length, device_put=self.device_put,
+                sample_weights=weights)
         return self._device[split]
 
     @property
@@ -233,6 +251,7 @@ class MixedOfflineData:
                  device_put: bool = True,
                  stats_from_data: Sequence[str] | None = None,
                  stats_pad: float = 0.05,
+                 oversample: Mapping[str, Any] | None = None,
                  n_workers: int = 0, prefetch_factor: int = 0):
         self.name = name
         self.meta = meta
@@ -243,6 +262,7 @@ class MixedOfflineData:
         self.format = format
         self.seed = seed
         self.device_put = device_put
+        self.oversample = oversample
 
         self.train_paths = list(train_paths)
         k = len(self.train_paths)
@@ -295,8 +315,11 @@ class MixedOfflineData:
                 device_put=self.device_put)
             offsets = np.cumsum([0] + [w.total_steps for w in welded[:-1]])
             sizes = [w.total_steps for w in welded]
+            weights = (_event_weights(cat, self.oversample)
+                       if self.oversample else None)
             self._mixed = MixedDeviceDataset.create(
-                device, offsets, sizes, self.train_split)
+                device, offsets, sizes, self.train_split,
+                step_weights=weights)
         return self._mixed
 
     def _eval_dataset(self) -> DeviceDataset:

@@ -106,8 +106,9 @@ class DPAgent(flax.struct.PyTreeNode):
         noisy = self.sched.add_noise(actions, noise, t)
         pred = self.planner_state.apply_fn({"params": params["planner"]},
                                            noisy, t, obs_emb)
-        loss = jnp.mean(jnp.square(
-            pred - self.sched.training_target(actions, noise, t)))
+        sq = jnp.square(pred - self.sched.training_target(actions, noise, t))
+        loss = jnp.mean(common.weight_action_channels(
+            sq, self.config.get("action_loss_weights")))
         metrics = dict(loss=loss, obs_min=jnp.min(obs_emb),
                        obs_max=jnp.max(obs_emb), obs_mean=jnp.mean(obs_emb),
                        obs_std=jnp.std(obs_emb),
@@ -210,6 +211,7 @@ class DPAgent(flax.struct.PyTreeNode):
                obs_horizon: int = 1, pred_horizon: int = 16,
                action_horizon: int = 8, n_diffusion_steps: int = 100,
                prediction_type: str = "epsilon",
+               action_loss_weights=None,
                inference_steps: int | None = None,
                lr: float = 1e-4, end_lr: float = 1e-6,
                warmup_steps: int = 1000, decay_steps: int = 500_000,
@@ -268,6 +270,8 @@ class DPAgent(flax.struct.PyTreeNode):
             name=name, lowdim_obs=tuple(lowdim_obs), rgb_obs=tuple(rgb_obs),
             obs_horizon=obs_horizon, pred_horizon=pred_horizon,
             action_horizon=action_horizon, action_dim=action_dim,
+            action_loss_weights=common.check_action_weights(
+                action_loss_weights, action_dim),
             shared_encoder=shared_encoder, inference_steps=inference_steps,
             use_ema=use_ema, fused_dtype=fused_dtype,
             **resolve_fused(fused_sampler, planner,

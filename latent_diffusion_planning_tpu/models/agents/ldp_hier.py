@@ -62,8 +62,9 @@ class LDPHierAgent(LDPAgent):
         noise = jax.random.normal(noise_rng, acts.shape)
         noisy = self.idm_sched.add_noise(acts, noise, t)
         pred = self.idm_state.apply_fn({"params": params}, noisy, t, pairs)
-        return jnp.mean(jnp.square(
-            pred - self.idm_sched.training_target(acts, noise, t)))
+        sq = jnp.square(pred - self.idm_sched.training_target(acts, noise, t))
+        return jnp.mean(common.weight_action_channels(
+            sq, self.config.get("action_loss_weights")))
 
     # ------------------------------------------------------------------
     # inference (chunked IDM)
@@ -184,6 +185,7 @@ class LDPHierAgent(LDPAgent):
                planner_inference_steps: int | None = None,
                idm_inference_steps: int | None = None,
                alpha_planner: float = 1.0, alpha_idm: float = 1.0,
+               action_loss_weights=None,
                lr: float = 1e-4, end_lr: float = 1e-6,
                idm_lr: float = 1e-4, idm_end_lr: float = 1e-6,
                warmup_steps: int = 1000, decay_steps: int = 500_000,
@@ -214,6 +216,8 @@ class LDPHierAgent(LDPAgent):
             vae_feature_dim=vae_feature_dim,
             use_planner=use_planner, use_idm=use_idm,
             alpha_planner=alpha_planner, alpha_idm=alpha_idm,
+            action_loss_weights=common.check_action_weights(
+                action_loss_weights, action_dim),
             update_planner_every=update_planner_every,
             update_idm_every=update_idm_every,
             update_idm_after=update_idm_after,

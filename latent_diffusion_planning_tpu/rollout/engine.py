@@ -162,6 +162,60 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     return result
 
 
+def run_batched_eval_multi(env, agents, n_episodes: int, rngs, *,
+                           obs_horizon: int = 1, action_horizon: int = 4,
+                           episode_len: int | None = None,
+                           policy_obs_keys: tuple[str, ...] | None = None,
+                           add_optimal: bool = False,
+                           episode_seeds: Any = None,
+                           plan_blend: float = 0.0,
+                           policy: PolicyFn = agent_sample_policy) -> list:
+    """Evaluate K checkpoints × n_episodes in ONE fused device program.
+
+    ``agents`` is a list of agent pytrees sharing one structure/config (e.g.
+    every checkpoint of a run applied to the same base agent); ``rngs`` one
+    rollout key per agent. The agent axis is vmapped over the whole episode
+    scan, so a 13-checkpoint × 50-episode protocol sweep runs as a single
+    650-episode-wide program instead of 13 under-batched calls — at protocol
+    size (50 eps) the chip is <1% utilized per call (BENCH_r04
+    protocol_50ep_productive_steps_per_sec: 458) and the sweep is dominated
+    by per-call launch + compile reuse overhead. Episode seeds (spawns) are
+    shared across checkpoints, matching the sequential sweep's protocol
+    (each ckpt sees the same arange-seeded episodes; the per-ckpt rng only
+    drives policy/diffusion noise).
+
+    Returns a list of per-checkpoint result dicts shaped like
+    run_batched_eval's (metrics + per_episode).
+    """
+    assert 0.0 <= plan_blend < 1.0
+    episode_len = episode_len or env.episode_len
+    n_decisions = math.ceil(episode_len / action_horizon)
+    episode_seeds = _episode_seeds(episode_seeds, n_episodes)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *agents)
+    rngs = jnp.stack([jnp.asarray(r) for r in rngs])
+    run = partial(_run_jit, env, policy, n_episodes, obs_horizon,
+                  action_horizon, episode_len, n_decisions,
+                  tuple(policy_obs_keys) if policy_obs_keys else None,
+                  add_optimal, 0, "", float(plan_blend))
+    out = jax.device_get(
+        jax.vmap(run, in_axes=(0, 0, None))(stacked, rngs, episode_seeds))
+    results = []
+    for k in range(len(agents)):
+        o = jax.tree_util.tree_map(lambda x: x[k], out)
+        results.append({
+            "metrics": {
+                "success": float(o["success"].mean()),
+                "reward": float(o["reward"].mean()),
+                "horizon": float(o["horizon"].mean()),
+                "avg_reward": float((o["reward_sum"]
+                                     / np.maximum(o["horizon"], 1)).mean()),
+                "n_episodes": n_episodes,
+            },
+            "per_episode": {"success": o["success"], "reward": o["reward"],
+                            "horizon": o["horizon"]}})
+    return results
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
 def _run_jit(env, policy, n_episodes, obs_horizon, action_horizon,
              episode_len, n_decisions, policy_obs_keys, add_optimal,
@@ -296,6 +350,7 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
                         action_noise: float = 0.0,
                         policy_obs_keys: tuple[str, ...] | None = None,
                         add_optimal: bool = False,
+                        episode_seeds: Any = None,
                         policy: PolicyFn = agent_sample_policy,
                         host_loop: bool | None = None) -> dict:
     """Roll out a policy and return full (obs, action, reward, success)
@@ -307,6 +362,12 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
     stop) so trajectories are rectangular; success/filters are applied by the
     writer (tools/collect_data.py).
 
+    ``episode_seeds``: per-episode reset addressing, SAME derivation as
+    run_batched_eval (episode i resets from fold_in(reset_rng, seeds[i]),
+    default arange) — so a diagnosis collection with the eval protocol's rng
+    replays the protocol's exact spawns (VERDICT r4 weak 4: the old
+    split(reset_rng, n) stream drew different episodes than the eval).
+
     ``host_loop``: like run_scripted_collection — jit one decision (policy
     + action_horizon env steps) and loop decisions in Python; identical
     results, avoids XLA CPU's pathological whole-episode-scan compile.
@@ -314,6 +375,7 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
     """
     episode_len = episode_len or env.episode_len
     n_decisions = math.ceil(episode_len / action_horizon)
+    episode_seeds = _episode_seeds(episode_seeds, n_episodes)
     if host_loop is None:
         host_loop = jax.default_backend() == "cpu"
 
@@ -322,24 +384,39 @@ def run_data_collection(env, agent, n_episodes: int, rng: jax.Array,
                                 action_horizon, n_decisions,
                                 tuple(policy_obs_keys) if policy_obs_keys
                                 else None, add_optimal, float(action_noise),
-                                agent, rng)
+                                agent, rng, episode_seeds)
     else:
         out = _collect_jit(env, policy, n_episodes, obs_horizon,
                            action_horizon, episode_len, n_decisions,
                            tuple(policy_obs_keys) if policy_obs_keys
                            else None, add_optimal, float(action_noise),
-                           agent, rng)
+                           agent, rng, episode_seeds)
     return jax.device_get(out)
+
+
+def _episode_seeds(episode_seeds, n_episodes: int) -> jnp.ndarray:
+    if episode_seeds is None:
+        return jnp.arange(n_episodes, dtype=jnp.int32)
+    episode_seeds = jnp.asarray(episode_seeds, jnp.int32)
+    assert episode_seeds.shape == (n_episodes,)
+    return episode_seeds
+
+
+def _reset_rngs(reset_rng: jax.Array, episode_seeds: jnp.ndarray) -> jax.Array:
+    """Per-episode reset keys by seed fold-in — the run_batched_eval
+    derivation, shared by every collection path so identical (rng, seeds)
+    reproduce identical spawns across eval, diagnosis, and collection."""
+    return jax.vmap(lambda s: jax.random.fold_in(reset_rng, s))(episode_seeds)
 
 
 def _collect_hostloop(env, policy, n_episodes, obs_horizon, action_horizon,
                       n_decisions, policy_obs_keys, add_optimal,
-                      action_noise, agent, rng):
+                      action_noise, agent, rng, episode_seeds):
     """Same decision body as _collect_jit, scanned on the host (same rng
     tree → identical trajectories)."""
     reset_rng, policy_rng = jax.random.split(rng)
     states, obs = jax.jit(jax.vmap(env.reset))(
-        jax.random.split(reset_rng, n_episodes))
+        _reset_rngs(reset_rng, episode_seeds))
     window = {k: jnp.repeat(v[:, None], obs_horizon, axis=1)
               for k, v in obs.items()}
 
@@ -385,10 +462,9 @@ def _collect_hostloop(env, policy, n_episodes, obs_horizon, action_horizon,
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9))
 def _collect_jit(env, policy, n_episodes, obs_horizon, action_horizon,
                  episode_len, n_decisions, policy_obs_keys, add_optimal,
-                 action_noise, agent, rng):
+                 action_noise, agent, rng, episode_seeds):
     reset_rng, policy_rng = jax.random.split(rng)
-    reset_rngs = jax.random.split(reset_rng, n_episodes)
-    states, obs = jax.vmap(env.reset)(reset_rngs)
+    states, obs = jax.vmap(env.reset)(_reset_rngs(reset_rng, episode_seeds))
     window = {k: jnp.repeat(v[:, None], obs_horizon, axis=1)
               for k, v in obs.items()}
 
@@ -437,6 +513,7 @@ def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
                             noise: float = 0.0,
                             noise_hold: int = 1,
                             clean_labels: bool = False,
+                            episode_seeds: Any = None,
                             host_loop: bool | None = None) -> dict:
     """Roll out the env's built-in scripted expert (env.scripted_action).
 
@@ -476,14 +553,17 @@ def run_scripted_collection(env, n_episodes: int, rng: jax.Array, *,
     the host loop.
     """
     episode_len = episode_len or env.episode_len
+    episode_seeds = _episode_seeds(episode_seeds, n_episodes)
     if host_loop is None:
         host_loop = jax.default_backend() == "cpu"
     if host_loop:
         out = _scripted_hostloop(env, n_episodes, episode_len, float(noise),
-                                 int(noise_hold), bool(clean_labels), rng)
+                                 int(noise_hold), bool(clean_labels), rng,
+                                 episode_seeds)
     else:
         out = _scripted_jit(env, n_episodes, episode_len, float(noise),
-                            int(noise_hold), bool(clean_labels), rng)
+                            int(noise_hold), bool(clean_labels), rng,
+                            episode_seeds)
     return jax.device_get(out)
 
 
@@ -513,10 +593,10 @@ def _scripted_step_body(env, noise, clean_labels, states, t_rng, n_episodes):
 
 
 def _scripted_hostloop(env, n_episodes, episode_len, noise, noise_hold,
-                       clean_labels, rng):
+                       clean_labels, rng, episode_seeds):
     reset_rng, act_rng = jax.random.split(rng)
     states, obs = jax.jit(jax.vmap(env.reset))(
-        jax.random.split(reset_rng, n_episodes))
+        _reset_rngs(reset_rng, episode_seeds))
 
     @jax.jit
     def step(states, t_rng):
@@ -535,9 +615,9 @@ def _scripted_hostloop(env, n_episodes, episode_len, noise, noise_hold,
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5))
 def _scripted_jit(env, n_episodes, episode_len, noise, noise_hold,
-                  clean_labels, rng):
+                  clean_labels, rng, episode_seeds):
     reset_rng, act_rng = jax.random.split(rng)
-    states, obs = jax.vmap(env.reset)(jax.random.split(reset_rng, n_episodes))
+    states, obs = jax.vmap(env.reset)(_reset_rngs(reset_rng, episode_seeds))
 
     def step(carry, t_rng):
         return _scripted_step_body(env, noise, clean_labels, carry, t_rng,

@@ -254,3 +254,56 @@ def test_ldp_sample_prediction_planner_trains_and_plans():
     # the reverse process must contract from noise scale (var 1.0) to the
     # data manifold's scale — the ALOHA ε-failure mode showed ~0.7 here
     assert mse < 10 * var and mse < 0.05, (mse, var)
+
+
+def test_action_loss_weights_validation_and_effect():
+    from latent_diffusion_planning_tpu.models.agents import common
+
+    with pytest.raises(ValueError, match="entries"):
+        common.check_action_weights([1.0, 2.0], action_dim=4)
+    with pytest.raises(ValueError, match="positive"):
+        common.check_action_weights([1.0, 0.0, 1.0, 1.0], action_dim=4)
+    assert common.check_action_weights(None, 4) is None
+
+    # mean-1 normalization: uniform weights are a no-op
+    sq = jnp.asarray(np.random.default_rng(0).uniform(size=(6, 4)),
+                     jnp.float32)
+    same = common.weight_action_channels(sq, (2.0, 2.0, 2.0, 2.0))
+    np.testing.assert_allclose(np.asarray(same), np.asarray(sq), rtol=1e-6)
+    w = common.check_action_weights([1.0, 1.0, 1.0, 5.0], 4)
+    out = common.weight_action_channels(sq, w)
+    # total scale preserved for uniform errors, channel 3 upweighted
+    np.testing.assert_allclose(float(jnp.mean(out)),
+                               float(jnp.mean(sq * jnp.asarray([0.5, 0.5, 0.5, 2.5]))),
+                               rtol=1e-5)
+
+
+def test_ldp_weighted_idm_loss_trains():
+    agent = LDPAgent.create(
+        jax.random.PRNGKey(0), _latent_batch(), SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        idm_net={"_target_": MLPD, "n_blocks": 1, "hidden_dim": 32,
+                 "time_dim": 16},
+        vae=TINY_VAE, vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=8,
+        action_horizon=4, planner_n_diffusion_steps=5,
+        idm_n_diffusion_steps=5, warmup_steps=2, decay_steps=50,
+        action_loss_weights=[1.0, 1.0, 1.0, 4.0])
+    assert agent.config.action_loss_weights == (1.0, 1.0, 1.0, 4.0)
+    batch = _latent_batch(key=3)
+    a2, m = agent.update(batch, jax.random.PRNGKey(1), step=0)
+    assert np.isfinite(float(m["idm_loss"]))
+    # weighting changes the loss value vs the unweighted config
+    base = LDPAgent.create(
+        jax.random.PRNGKey(0), _latent_batch(), SHAPE_META,
+        planner={"_target_": UNET, "down_dims": [16, 32]},
+        idm_net={"_target_": MLPD, "n_blocks": 1, "hidden_dim": 32,
+                 "time_dim": 16},
+        vae=TINY_VAE, vae_feature_dim=16,
+        lowdim_obs=["robot0_eef_pos"], rgb_obs=["latent_agentview_image"],
+        obs_normalization=STATS, obs_horizon=1, pred_horizon=8,
+        action_horizon=4, planner_n_diffusion_steps=5,
+        idm_n_diffusion_steps=5, warmup_steps=2, decay_steps=50)
+    _, m0 = base.update(batch, jax.random.PRNGKey(1), step=0)
+    assert not np.isclose(float(m["idm_loss"]), float(m0["idm_loss"]))

@@ -189,3 +189,76 @@ def test_facade_multi_path_welds(h5, tmp_path):
     assert w.total_steps == 3 * 13 + 2 * 10  # terminal splice per demo
     batch = next(data.train_dataloader())
     assert batch["actions"].shape == (4, 5, 4)
+
+
+def test_action_event_weights_properties(h5):
+    from latent_diffusion_planning_tpu.data.windows import action_event_weights
+
+    w = ingest.load_robomimic(h5, list(OBS_SHAPES))
+    # plant one sharp event on channel 2 of demo 1
+    w.arrays["actions"][:] = 0.0
+    s = int(w.demo_starts[1])
+    w.arrays["actions"][s + 6, 2] = 1.0   # step 6: jump up, step 7: jump back
+    wts = action_event_weights(w, channels=[2], boost=3.0, halfwidth=2)
+    assert wts.shape == (w.total_steps,)
+    assert np.all(wts >= 1.0) and np.isclose(wts.max(), 4.0)
+    # demo 1 peaks around the event; other demos stay flat at 1
+    assert wts[s + 6] == wts.max()
+    assert np.allclose(wts[: int(w.demo_lengths[0])], 1.0)
+
+
+def test_weighted_sampling_skews_draws(h5):
+    from latent_diffusion_planning_tpu.data.windows import action_event_weights
+
+    w = ingest.load_robomimic(h5, list(OBS_SHAPES))
+    w.arrays["actions"][:] = 0.0
+    s = int(w.demo_starts[1])
+    w.arrays["actions"][s + 6, 2] = 1.0
+    # tag each step so gathered windows reveal their source index
+    w.arrays["robot0_eef_pos"][:, 0] = np.arange(w.total_steps)
+    wts = action_event_weights(w, channels=[2], boost=9.0, halfwidth=1)
+    ds = DeviceDataset.from_welded(w, frame_stack=1, seq_length=1,
+                                   sample_weights=wts)
+    batch = ds.sample(jax.random.PRNGKey(0), 4096)
+    ids = np.asarray(batch["obs"]["robot0_eef_pos"][:, 0, 0]).astype(int)
+    near = np.isin(ids, [s + 5, s + 6, s + 7]).mean()
+    # 3 boosted steps out of 39: uniform would give ~7.7%; boosted ~40%+
+    assert near > 0.25, near
+    # uniform control
+    ds_u = DeviceDataset.from_welded(w, frame_stack=1, seq_length=1)
+    ids_u = np.asarray(ds_u.sample(jax.random.PRNGKey(0), 4096)
+                       ["obs"]["robot0_eef_pos"][:, 0, 0]).astype(int)
+    assert np.isin(ids_u, [s + 5, s + 6, s + 7]).mean() < 0.15
+
+
+def test_mixed_step_weights_keep_sub_probabilities(h5, tmp_path):
+    p2 = synthetic.write_robomimic_hdf5(tmp_path / "sub_w.hdf5", n_demos=2,
+                                        demo_len=12, obs_shapes=OBS_SHAPES,
+                                        ac_dim=4, seed=7)
+    w1 = ingest.load_robomimic(h5, list(OBS_SHAPES) + ["optimal"], optimal=1.0)
+    w2 = ingest.load_robomimic(p2, list(OBS_SHAPES) + ["optimal"], optimal=0.0)
+    cat = ingest.concat_welded([w1, w2])
+    ds = DeviceDataset.from_welded(cat, frame_stack=1, seq_length=2)
+    # arbitrary per-step weights: sub-mixture fractions must be unaffected
+    rngw = np.random.default_rng(0)
+    wts = rngw.uniform(0.5, 5.0, cat.total_steps).astype(np.float32)
+    mixed = MixedDeviceDataset.create(ds, [0, w1.total_steps],
+                                      [w1.total_steps, w2.total_steps],
+                                      [0.8, 0.2], step_weights=wts)
+    batch = mixed.sample(jax.random.PRNGKey(1), 2048)
+    frac_optimal = float(np.asarray(batch["obs"]["optimal"][:, 0, 0]).mean())
+    assert 0.75 < frac_optimal < 0.85, frac_optimal
+
+
+def test_facade_oversample_train_only(h5):
+    meta = {"lowdim_obs": ["robot0_eef_pos"], "rgb_obs": [],
+            "shape_meta": {"ac_dim": 4,
+                           "all_shapes": {"robot0_eef_pos": [3]}},
+            "obs_normalization": synthetic.synthetic_stats(OBS_SHAPES)}
+    data = OfflineData(name="t", train_path=str(h5), eval_path=str(h5),
+                       meta=meta, batch_size=8, obs_horizon=1, seq_length=2,
+                       oversample={"channels": [0, 1], "boost": 2.0,
+                                   "halfwidth": 3})
+    assert data.device_dataset("train").sample_logits is not None
+    assert data.device_dataset("eval").sample_logits is None
+    next(data.train_dataloader())  # smoke: jitted weighted sampling runs

@@ -351,3 +351,67 @@ def test_writer_trim_success_margin(env, tmp_path):
     # variable-length demos weld fine
     w = ingest.load_robomimic(tmp_path / "trim.hdf5", ["robot0_eef_pos"])
     assert w.n_demos == n
+
+
+def test_collection_episode_seed_addressability(env):
+    """Episode i of a batch collection == a 1-episode collection with
+    episode_seeds=[i] — the per-episode reset derivation shared with
+    run_batched_eval (fold_in(reset_rng, seed))."""
+    rng = jax.random.PRNGKey(9)
+    full = engine.run_scripted_collection(env, 4, rng, episode_len=6)
+    one = engine.run_scripted_collection(env, 1, rng, episode_len=6,
+                                         episode_seeds=[2])
+    np.testing.assert_array_equal(full["first_obs"]["robot0_eef_pos"][2],
+                                  one["first_obs"]["robot0_eef_pos"][0])
+    np.testing.assert_allclose(full["obs"]["object"][2, 0],
+                               one["obs"]["object"][0, 0], atol=1e-6)
+
+
+def test_collection_resets_match_eval_protocol(env):
+    """run_data_collection draws the SAME spawns as run_batched_eval from
+    the same rng (VERDICT r4 weak 4: diagnosis evidence must line up with
+    protocol evals): both split off reset_rng then fold in the default
+    arange episode seeds — reconstruct the eval derivation explicitly and
+    pin the collection's first_obs to it."""
+    def zero_policy(agent, obs, rng):
+        B = obs["robot0_eef_pos"].shape[0]
+        return jnp.zeros((B, 4, 7))
+
+    rng = jax.random.PRNGKey(11)
+    col = engine.run_data_collection(env, None, 4, rng, action_horizon=4,
+                                     episode_len=12, policy=zero_policy)
+    reset_rng, _ = jax.random.split(rng)
+    _, obs = jax.vmap(env.reset)(
+        engine._reset_rngs(reset_rng, jnp.arange(4, dtype=jnp.int32)))
+    np.testing.assert_allclose(np.asarray(obs["robot0_eef_pos"]),
+                               col["first_obs"]["robot0_eef_pos"], atol=1e-6)
+    np.testing.assert_allclose(np.asarray(obs["object"]),
+                               col["first_obs"]["object"], atol=1e-6)
+
+
+def test_multi_ckpt_eval_matches_single(env):
+    """run_batched_eval_multi (vmapped K-checkpoint sweep) reproduces the
+    per-checkpoint run_batched_eval results for the same (agent, rng)."""
+    import flax.struct
+
+    class Toy(flax.struct.PyTreeNode):
+        scale: jnp.ndarray
+
+    def policy(agent, obs, rng):
+        B = obs["robot0_eef_pos"].shape[0]
+        return jnp.ones((B, 4, 7)) * agent.scale
+
+    agents = [Toy(scale=jnp.asarray(0.05)), Toy(scale=jnp.asarray(-0.05))]
+    rngs = [jax.random.PRNGKey(1), jax.random.PRNGKey(2)]
+    multi = engine.run_batched_eval_multi(env, agents, 3, rngs,
+                                          action_horizon=4, episode_len=8,
+                                          policy=policy)
+    for agent, rng, m in zip(agents, rngs, multi):
+        single = engine.run_batched_eval(env, agent, 3, rng,
+                                         action_horizon=4, episode_len=8,
+                                         policy=policy)
+        np.testing.assert_allclose(m["per_episode"]["reward"],
+                                   single["per_episode"]["reward"],
+                                   atol=1e-5)
+        np.testing.assert_allclose(m["per_episode"]["horizon"],
+                                   single["per_episode"]["horizon"])

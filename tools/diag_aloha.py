@@ -44,9 +44,13 @@ def stage_times(rewards: np.ndarray) -> dict:
 
 def main(argv=None) -> None:
     _, overrides = parse_cli(argv if argv is not None else sys.argv[1:])
+    # seed default matches tools/eval_bc.py: the rollout rng below is
+    # fold_in(PRNGKey(seed), ckpt_step), so these n_episodes ARE the first n
+    # episodes of the protocol eval sweep at this checkpoint — diagnosis
+    # evidence and protocol numbers line up (VERDICT r4 weak 4)
     cfg = _configify({"run_dir": "experiments/aloha_phys2/ldp",
                       "ckpt_step": 60000, "n_episodes": 16,
-                      "video_eps": 4, "seed": 123,
+                      "video_eps": 4, "seed": 1111111,
                       "out_dir": "/tmp/diag_aloha"})
     for ov in overrides:
         k, v = ov.split("=", 1)
@@ -75,7 +79,8 @@ def main(argv=None) -> None:
         for k in meta["rgb_obs"] if k != "optimal"])
 
     n = int(cfg.n_episodes)
-    rng = jax.random.PRNGKey(int(cfg.seed))
+    rng = jax.random.fold_in(jax.random.PRNGKey(int(cfg.seed)),
+                             int(cfg.ckpt_step))
     print(f"rolling policy ({n} episodes)...", flush=True)
     pol = engine.run_data_collection(
         env, agent, n, rng, obs_horizon=run_cfg.obs_horizon,
