@@ -156,7 +156,7 @@ def run_batched_eval(env, agent, n_episodes: int, rng: jax.Array,
     }
     result = {"metrics": metrics, "per_episode": {
         "success": out["success"], "reward": out["reward"],
-        "horizon": out["horizon"]}}
+        "reward_sum": out["reward_sum"], "horizon": out["horizon"]}}
     if video_envs > 0:
         result["videos"] = out["videos"]
     return result
@@ -212,6 +212,7 @@ def run_batched_eval_multi(env, agents, n_episodes: int, rngs, *,
                 "n_episodes": n_episodes,
             },
             "per_episode": {"success": o["success"], "reward": o["reward"],
+                            "reward_sum": o["reward_sum"],
                             "horizon": o["horizon"]}})
     return results
 

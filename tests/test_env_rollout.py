@@ -189,8 +189,12 @@ def test_blowup_containment():
                                   episode_len=20, policy=policy)
     assert (np.asarray(out["per_episode"]["horizon"]) == 5).all()
     assert not np.asarray(out["per_episode"]["success"]).any()
-    # rewards stop accumulating at the blow-up (4 finite steps of 1.0)
-    np.testing.assert_allclose(np.asarray(out["per_episode"]["reward"]), 4.0)
+    # rewards stop accumulating at the blow-up (4 finite steps of 1.0);
+    # episode reward is the per-step MAX (reference stage convention),
+    # reward_sum the pre-blow-up cumulative sum
+    np.testing.assert_allclose(np.asarray(out["per_episode"]["reward"]), 1.0)
+    np.testing.assert_allclose(
+        np.asarray(out["per_episode"]["reward_sum"]), 4.0)
 
 
 def test_scripted_collection_hostloop_matches_scan():
@@ -279,10 +283,12 @@ def test_plan_blend_temporal_ensemble():
         return jnp.tile(jnp.arange(8.0)[None, :, None], (B, 1, 1))
 
     def total_reward(w):
+        # reward_sum (not the stage-max "reward") probes every executed
+        # action, which is what blending changes
         out = engine.run_batched_eval(
             RewardEchoEnv(), None, 3, jax.random.PRNGKey(0), obs_horizon=1,
             action_horizon=4, episode_len=8, plan_blend=w, policy=policy)
-        return np.asarray(out["per_episode"]["reward"])
+        return np.asarray(out["per_episode"]["reward_sum"])
 
     np.testing.assert_allclose(total_reward(0.0), 12.0)       # 6 + 6
     np.testing.assert_allclose(total_reward(0.5), 20.0)       # 6 + 3 + 11

@@ -74,6 +74,6 @@ fi
 
 python tools/eval_bc.py run_dir=experiments/$RUN/ldp \
   "ckpt_steps=[$((STEPS-10000)),$STEPS]" \
-  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7
+  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7 sweep_batch=2
 
 python tools/snapshot_run.py experiments/$RUN/vae experiments/$RUN/ldp

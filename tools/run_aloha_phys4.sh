@@ -87,9 +87,11 @@ python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
   experiment_folder=$RUN experiment_name=ldp
 fi
 
-# protocol sweep on the last three checkpoints at the round-4 best knobs
+# protocol sweep on the last three checkpoints at the round-4 best knobs;
+# sweep_batch=3 fuses all three into one vmapped 768-episode device program
+# (falls back to sequential per-ckpt calls on any failure)
 python tools/eval_bc.py run_dir=experiments/$RUN/ldp \
   "ckpt_steps=[$((STEPS-20000)),$((STEPS-10000)),$STEPS]" \
-  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7
+  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7 sweep_batch=3
 
 python tools/snapshot_run.py experiments/$RUN/vae experiments/$RUN/ldp
