@@ -30,6 +30,18 @@ DDIM (eta=0) only: the per-step update is deterministic given the initial
 noise (drawn by the caller with the same key the XLA sampler uses), so fused
 and unfused samplers are directly comparable. DDPM sampling falls back to
 the XLA scan (it is the training-time eval path, not the rollout hot path).
+
+Weight streaming (reference-scale nets): when the weights exceed the
+VMEM-resident budget (~72 MB bf16; the reference's [256,512,1024] planner is
+~146 MB), the sampler switches to a *streamed* mode instead of falling back
+to the XLA scan. All weights are packed row-major into one 2-D HBM "tape"
+(FiLM projections split into scale/bias halves so every weight is at most
+max(down_dims) columns wide), grouped into contiguous row *bundles*; the
+kernel double-buffers bundle DMAs (HBM→VMEM) against compute, so each
+diffusion step streams the full weight set once at HBM bandwidth — the same
+traffic the XLA scan pays per step, without its per-op dispatch latency or
+activation round-trips. The bundle count is padded to even so the two-slot
+parity repeats identically across steps of the fori_loop.
 """
 
 from __future__ import annotations
@@ -45,6 +57,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 GN_EPS = 1e-6  # flax.linen.GroupNorm default
+
+# Max weight bytes the fused sampler keeps VMEM-resident for the whole
+# reverse process. The kernel runs under a ~100 MB scoped-vmem limit shared
+# with activations (measured: 107 MB scoped usage at 146 MB weights OOMs);
+# larger nets stream their weights from an HBM tape instead (see module doc).
+WEIGHT_VMEM_BUDGET = 72 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +131,13 @@ def flatten_unet1d_params(params: Any, down_dims: Sequence[int],
                          row(blk[cb]["Conv_0"]["bias"]),
                          row(blk[cb]["GroupNorm_0"]["scale"]),
                          row(blk[cb]["GroupNorm_0"]["bias"])]
-            flat += [mat(blk["Dense_0"]["kernel"]), row(blk["Dense_0"]["bias"])]
+            # FiLM projection split into scale/bias column halves: exact
+            # (a column split of one matmul), and it bounds every flattened
+            # weight at max(down_dims) columns so the streamed tape needs no
+            # 2*ch-wide rows
+            ch = meta["ch"]
+            fw, fb = mat(blk["Dense_0"]["kernel"]), row(blk["Dense_0"]["bias"])
+            flat += [fw[:, :ch], fw[:, ch:], fb[:, :ch], fb[:, ch:]]
             has_proj = "Conv_0" in blk
             assert has_proj == (meta["cin"] != meta["ch"] if meta["cin"] != 1
                                 else has_proj)
@@ -150,6 +174,59 @@ def unet1d_vmem_bytes(params: Any, down_dims: Sequence[int],
 
 
 # ---------------------------------------------------------------------------
+# streamed-weight tape layout
+# ---------------------------------------------------------------------------
+
+class _StreamLayout:
+    """Static row layout of the packed HBM weight tape.
+
+    Weights keep their flatten order; each occupies a sublane-aligned row
+    block at column 0 of a (total_rows, cw) tape. Consecutive weights group
+    into *bundles* (one DMA each) capped at ``bundle_bytes``; the bundle
+    count is padded to even so the two-slot double-buffer parity repeats
+    identically across diffusion steps.
+    """
+
+    def __init__(self, shapes, itemsize: int, align: int = 16,
+                 bundle_bytes: int = 12 * 1024 * 1024):
+        up = lambda n, m: -(-int(n) // m) * m
+        self.cw = up(max(int(s[1]) for s in shapes), 128)
+        cap = max(bundle_bytes // (self.cw * itemsize),
+                  max(up(s[0], align) for s in shapes))
+        self.weights = []   # (bundle, row_in_bundle, r, c, first_in_bundle)
+        self.bundles = []   # (tape_row_off, rows)
+        off = cur = 0
+        for r, c in shapes:
+            pr = up(r, align)
+            if cur and cur + pr > cap:
+                self.bundles.append((off, cur))
+                off, cur = off + cur, 0
+            self.weights.append(
+                (len(self.bundles), cur, int(r), int(c), cur == 0))
+            cur += pr
+        self.bundles.append((off, cur))
+        off += cur
+        if len(self.bundles) % 2:
+            self.bundles.append((off, align))    # dummy: even bundle count
+            off += align
+        self.total_rows = off
+        self.max_rows = max(r for _, r in self.bundles)
+
+    def scratch_bytes(self, itemsize: int) -> int:
+        return 2 * self.max_rows * self.cw * itemsize
+
+
+def pack_unet1d_params(flat, layout: _StreamLayout, dtype) -> jnp.ndarray:
+    """Flat weight list → one (total_rows, cw) tape (column-0 aligned)."""
+    tape = jnp.zeros((layout.total_rows, layout.cw), dtype)
+    for (b, r0, r, c, _), w in zip(layout.weights, flat):
+        w = jnp.pad(w.astype(dtype), ((0, 0), (0, layout.cw - c)))
+        tape = jax.lax.dynamic_update_slice(
+            tape, w, (layout.bundles[b][0] + r0, 0))
+    return tape
+
+
+# ---------------------------------------------------------------------------
 # kernel
 # ---------------------------------------------------------------------------
 
@@ -158,10 +235,59 @@ def _mish(x):
 
 
 def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
-            ts_ref, coef_ref, freqs_ref, *refs):
-    gcond_ref, x0_ref = refs[-3], refs[-2]
-    out_ref = refs[-1]
-    w = list(refs[:-3])
+            layout, ts_ref, coef_ref, freqs_ref, *refs):
+    if layout is None:
+        # VMEM-resident: one ref per weight, consumed in flatten order
+        gcond_ref, x0_ref, out_ref = refs[-3], refs[-2], refs[-1]
+        w = list(refs[:-3])
+
+        def make_provider():
+            it = iter(w)
+            return (lambda: next(it)[:]), (lambda: None)
+
+        start_stream = drain_stream = lambda: None
+    else:
+        # streamed: weights live in an HBM tape; bundles double-buffer
+        # through a 2-slot VMEM scratch, DMA overlapped with compute
+        tape_ref, gcond_ref, x0_ref, out_ref, buf_ref, sem_ref = refs
+        nb = len(layout.bundles)
+
+        def _dma(b, slot):
+            off, rows = layout.bundles[b]
+            return pltpu.make_async_copy(
+                tape_ref.at[pl.ds(off, rows)],
+                buf_ref.at[slot, pl.ds(0, rows)],
+                sem_ref.at[slot])
+
+        def make_provider():
+            state = {"k": 0}
+
+            def nxt():
+                k = state["k"]
+                state["k"] += 1
+                b, r0, r, c, first = layout.weights[k]
+                if first:
+                    # this bundle's DMA was kicked one bundle ago (or by the
+                    # warm-up); retire it, then prefetch the next bundle into
+                    # the slot bundle b-1 just vacated
+                    _dma(b, b % 2).wait()
+                    _dma((b + 1) % nb, (b + 1) % 2).start()
+                return buf_ref[b % 2, r0:r0 + r, :c]
+
+            def finish():
+                # a parity-padding bundle carries no weights, so its wait +
+                # next-bundle prefetch never fire from nxt(); run them here
+                # or the cross-step start chain breaks
+                for d in range(layout.weights[-1][0] + 1, nb):
+                    _dma(d, d % 2).wait()
+                    _dma((d + 1) % nb, (d + 1) % 2).start()
+
+            return nxt, finish
+
+        start_stream = lambda: _dma(0, 0).start()
+        # the last bundle of the last step prefetches bundle 0 for a step
+        # that never runs — retire it so the semaphore balances
+        drain_stream = lambda: _dma(0, 0).wait()
     N = x0_ref.shape[0]
     B = N // T
 
@@ -223,8 +349,7 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
         return wide.reshape(B * Tl, fb.shape[-1])
 
     def eval_net(x, step):
-        it = iter(w)
-        nxt = lambda: next(it)[:]
+        nxt, finish = make_provider()
 
         # diffusion-step encoder (scalar t) + per-sample condition, B rows
         t = ts_ref[step].astype(jnp.float32)
@@ -244,12 +369,12 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
                 Tl = T // meta["s"]
                 c1k, c1b, g1s, g1b = nxt(), nxt(), nxt(), nxt()
                 c2k, c2b, g2s, g2b = nxt(), nxt(), nxt(), nxt()
-                fw, fb = nxt(), nxt()
+                fws, fwb, fbs, fbb = nxt(), nxt(), nxt(), nxt()
                 hh = conv1d(h, c1k, c1b, Tl, c1k.shape[0] // meta["cin"] // 2)
                 hh = _mish(group_norm(hh, g1s, g1b, Tl))
-                film = bcast_rows(mm(mcond, fw) + fb[:], Tl)   # (n, 2C)
                 ch = meta["ch"]
-                hh = film[:, :ch] * hh + film[:, ch:]
+                hh = (bcast_rows(mm(mcond, fws) + fbs[:], Tl) * hh
+                      + bcast_rows(mm(mcond, fwb) + fbb[:], Tl))
                 hh = conv1d(hh, c2k, c2b, Tl, c2k.shape[0] // ch // 2)
                 hh = _mish(group_norm(hh, g2s, g2b, Tl))
                 if meta["cin"] != meta["ch"]:
@@ -313,6 +438,7 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
                 h = jax.lax.dot_general(
                     h, ow.astype(jnp.float32), (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32) + ob[:]
+        finish()
         return h                                              # (N, D) epsilon
 
     def body(step, x):
@@ -321,7 +447,9 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
                       -clip_range, clip_range)
         return coef_ref[step, 2] * x0 + coef_ref[step, 3] * x
 
+    start_stream()
     out_ref[:] = jax.lax.fori_loop(0, n_steps, body, x0_ref[:])
+    drain_stream()
 
 
 # ---------------------------------------------------------------------------
@@ -338,12 +466,18 @@ def fused_unet1d_ddim_sample(params: Any, global_cond: jnp.ndarray,
                              dtype: Any = jnp.float32,
                              batch_tile: int = 64,
                              vmem_limit_mb: int = 100,
+                             streaming: bool | None = None,
+                             stream_bundle_bytes: int = 12 * 1024 * 1024,
                              interpret: bool = False) -> jnp.ndarray:
     """Fused DDIM reverse process over a ConditionalUnet1D epsilon-model.
 
     global_cond: (B, Dc); x_init: (B, T, D) initial gaussian; timesteps (S,);
     coefs (S, 5) from ops.diffusion.ddim_coef_table (s_var column ignored —
     eta=0). Returns (B, T, D) float32.
+
+    ``streaming`` None picks automatically: VMEM-resident weights when they
+    fit WEIGHT_VMEM_BUDGET, the double-buffered HBM-tape mode otherwise
+    (reference-scale [256,512,1024] nets — see module doc).
     """
     B, T, D = x_init.shape
     S = int(timesteps.shape[0])
@@ -353,15 +487,35 @@ def fused_unet1d_ddim_sample(params: Any, global_cond: jnp.ndarray,
     assert B % tile == 0, f"batch {B} not divisible by tile {tile}"
     N = tile * T
 
+    if streaming is None:
+        wb = sum(int(np.prod(w.shape)) * w.dtype.itemsize for w in flat)
+        streaming = wb > WEIGHT_VMEM_BUDGET
+
     d = diffusion_step_embed_dim
     half = d // 2
     freqs = jnp.exp(-math.log(10000.0)
                     * jnp.arange(half, dtype=jnp.float32) / (half - 1))[None]
     x_rows = x_init.reshape(B * T, D).astype(jnp.float32)
 
+    itemsize = jnp.dtype(dtype).itemsize
+    if streaming:
+        layout = _StreamLayout([w.shape for w in flat], itemsize,
+                               bundle_bytes=stream_bundle_bytes)
+        w_args = [pack_unet1d_params(flat, layout, dtype)]
+        w_specs = [pl.BlockSpec(memory_space=pl.ANY)]        # HBM tape
+        scratch = [pltpu.VMEM((2, layout.max_rows, layout.cw), jnp.dtype(dtype)),
+                   pltpu.SemaphoreType.DMA((2,))]
+        vmem_limit = max(vmem_limit_mb * 2**20,
+                         layout.scratch_bytes(itemsize) + 48 * 2**20)
+    else:
+        layout = None
+        w_args = flat
+        w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+        scratch = []
+        vmem_limit = vmem_limit_mb * 2**20
+
     kernel = functools.partial(_kernel, ops, T, S, n_groups, kernel_size,
-                               clip_range, jnp.dtype(dtype))
-    w_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat]
+                               clip_range, jnp.dtype(dtype), layout)
     out = pl.pallas_call(
         kernel,
         grid=(B // tile,),
@@ -378,9 +532,10 @@ def fused_unet1d_ddim_sample(params: Any, global_cond: jnp.ndarray,
         out_specs=pl.BlockSpec((N, D), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B * T, D), jnp.float32),
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=vmem_limit_mb * 1024 * 1024),
+            vmem_limit_bytes=vmem_limit),
         interpret=interpret,
     )(jnp.asarray(timesteps, jnp.int32), jnp.asarray(coefs, jnp.float32),
-      freqs, *flat, global_cond.astype(jnp.float32), x_rows)
+      freqs, *w_args, global_cond.astype(jnp.float32), x_rows)
     return out.reshape(B, T, D)

@@ -1,12 +1,11 @@
 """resolve_fused dispatch policy: loud fallbacks + VMEM weight budget.
 
-The fused U-Net sampler pins every weight VMEM-resident for the whole
-reverse process (ops/pallas/diffusion_unet1d.py), under the TPU's ~100 MB
-scoped-vmem limit. Reference-scale down_dims [256,512,1024] is ~146 MB in
-bf16 and fails TPU compile with a scoped-vmem OOM, so resolve_fused must
-refuse to fuse oversized nets and fall back to the XLA scan — loudly
-(VERDICT r2 weak item 3 / the round-3 ALOHA capacity-probe eval crash).
-"""
+The fused U-Net sampler pins weights VMEM-resident up to the ~72 MB budget
+(under the TPU's ~100 MB scoped-vmem limit); over it — reference-scale
+down_dims [256,512,1024] is ~146 MB in bf16 — the sampler streams weights
+from an HBM tape (ops/pallas/diffusion_unet1d.py), so resolve_fused keeps
+the fused path ON for oversized nets and only real structure mismatches
+fall back to the XLA scan — loudly (VERDICT r2 weak item 3)."""
 
 import logging
 
@@ -45,18 +44,20 @@ def test_small_planner_fuses():
     assert out["planner_down_dims"] == (16, 32, 64)
 
 
-def test_reference_scale_planner_falls_back(caplog):
-    # [256,512,1024] @ cond 526 is ~146 MB bf16 — over the 72 MB budget
+def test_reference_scale_planner_streams(caplog):
+    # [256,512,1024] @ cond 526 is ~146 MB bf16 — over the 72 MB resident
+    # budget, so the fused path stays ON and the sampler streams weights
+    # from an HBM tape (announced at agent create)
     params = _unet_param_shapes((256, 512, 1024))
     assert unet1d_vmem_bytes(
         params, (256, 512, 1024), jnp.bfloat16) > FUSED_WEIGHT_VMEM_BUDGET
-    with caplog.at_level(logging.WARNING,
+    with caplog.at_level(logging.INFO,
                          "latent_diffusion_planning_tpu.models.agents.ldp"):
         out = resolve_fused(True, {"down_dims": [256, 512, 1024]},
                             params, None)
-    assert out["fused_planner"] is False
-    assert any("VMEM" in r.message or "exceed" in r.getMessage()
-               for r in caplog.records)
+    assert out["fused_planner"] is True
+    assert out["planner_down_dims"] == (256, 512, 1024)
+    assert any("STREAM" in r.getMessage() for r in caplog.records)
 
 
 def test_no_downsample_falls_back(caplog):
