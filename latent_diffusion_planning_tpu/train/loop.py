@@ -177,7 +177,12 @@ class Workspace:
             rng, sub = jax.random.split(rng)
             try:
                 pred = self.agent.sample_action(batch, sub)
-                gt = jnp.asarray(batch["actions"])[:, : pred.shape[1]]
+                # compare the overlapping prefix: the hierarchical agent
+                # decodes pred_horizon*idm_horizon actions, longer than the
+                # data window (horizon) — the tail has no ground truth
+                n = min(pred.shape[1], batch["actions"].shape[1])
+                pred = pred[:, :n]
+                gt = jnp.asarray(batch["actions"])[:, :n]
                 mse = float(jnp.mean((pred - gt) ** 2))
                 l1 = float(jnp.mean(jnp.abs(pred - gt)))
                 self.logger.log_metrics(

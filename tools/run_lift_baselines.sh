@@ -62,6 +62,7 @@ python tools/train_bc.py agent=ldp_hier_agent data=lift/latent_img \
   agent.planner_inference_steps=25 agent.idm_inference_steps=25 \
   horizon=9 pred_horizon=8 idm_horizon=4 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  resume=true \
   $COMMON experiment_name=ldp_hier
 python tools/snapshot_run.py experiments/$RUN/ldp_hier
 fi
