@@ -10,6 +10,11 @@ set -u
 cd "$(dirname "$0")/.."
 mkdir -p logs
 
+# streamed fused-sampler TPU smoke: prove the Mosaic lowering on the real
+# chip before the reference-scale run (queue #3) relies on it
+timeout 900 python tools/smoke_streamed_sampler.py \
+  > logs/r5_streamsmoke.log 2>&1 || true
+
 if [ -d experiments/aloha_phys3/ldp/ckpt ]; then
   timeout 1800 python tools/eval_bc.py run_dir=experiments/aloha_phys3/ldp \
     'ckpt_steps=[60000]' n_eval_episodes=256 eval_action_horizon=1 \
