@@ -12,7 +12,11 @@ reference-scale pipeline (tools/run_reference_scale.sh) relies on it:
 Usage: python tools/smoke_streamed_sampler.py  (takes the chip for ~2 min)
 """
 
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp
