@@ -62,8 +62,15 @@ if [ ! -f datasets/lift/demos.hdf5 ]; then
     out_path=datasets/lift/demos.hdf5 seed=0 > logs/r5_demos.log 2>&1 || true
 fi
 if [ ! -f datasets/lift/demos_eval.hdf5 ]; then
-  timeout 600 python tools/collect_demos.py n_episodes=32 episode_len=80 \
+  # 32-episode eval shape triggers its own ~6 min XLA compile; 600 s killed
+  # this run mid-compile and the missing file cascades through every later
+  # stage (train eval_path, VAE eval set)
+  timeout 1500 python tools/collect_demos.py n_episodes=32 episode_len=80 \
     out_path=datasets/lift/demos_eval.hdf5 seed=77 >> logs/r5_demos.log 2>&1 || true
+fi
+if [ ! -f datasets/lift/demos_eval.hdf5 ]; then
+  stamp "FATAL: demos_eval.hdf5 still missing — aborting queue"
+  exit 1
 fi
 gate
 
