@@ -342,11 +342,25 @@ def _kernel(ops, T, n_steps, n_groups, kernel_size, clip_range, dtype,
         return (x - mu_f) * jax.lax.rsqrt(var_f + GN_EPS) * scale[:] + bias[:]
 
     def bcast_rows(fb, Tl):
-        """(B, C) per-block values -> (B*Tl, C) rows via concat+reshape."""
+        """(B, C) per-block values -> (B*Tl, C) rows, out[j] = fb[j // Tl].
+
+        Concat+reshape is free only when C is lane-aligned; for sub-128-lane
+        C (e.g. the 64-wide first U-Net level after the FiLM scale/bias
+        split) Mosaic rejects the shape cast ("infer-vector-layout:
+        unsupported shape cast" — real-TPU only, interpret mode can't see
+        layouts), so broadcast through an iota-built 0/1 selection matmul
+        like the down/up branches.
+        """
         if Tl == 1:
             return fb
-        wide = jnp.concatenate([fb] * Tl, axis=-1)
-        return wide.reshape(B * Tl, fb.shape[-1])
+        C = fb.shape[-1]
+        if C % 128 == 0:
+            wide = jnp.concatenate([fb] * Tl, axis=-1)
+            return wide.reshape(B * Tl, C)
+        oi = jax.lax.broadcasted_iota(jnp.int32, (B * Tl, B), 0)
+        ii = jax.lax.broadcasted_iota(jnp.int32, (B * Tl, B), 1)
+        S = (ii == oi // Tl).astype(jnp.float32)
+        return mm(S, fb)
 
     def eval_net(x, step):
         nxt, finish = make_provider()
