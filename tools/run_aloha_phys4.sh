@@ -25,6 +25,17 @@ cd "$(dirname "$0")/.."
 RUN=${RUN:-aloha_phys4}
 STEPS=${STEPS:-200000}
 ENV=latent_diffusion_planning_tpu.envs.aloha_cube.AlohaTransferCubeEnv
+
+# Cheap guaranteed evidence first: the streamed fused-sampler real-TPU smoke
+# (HBM weight streaming for reference-scale nets) takes <15 min and must not
+# be starved by the long train below.
+if [ ! -s logs/r5_streamsmoke2.log ]; then
+  timeout 900 python tools/smoke_streamed_sampler.py \
+    > logs/r5_streamsmoke2.log 2>&1 || true
+  git add logs/r5_streamsmoke2.log >/dev/null 2>&1 || true
+  git commit -m "Round-5 queue: streamed fused-sampler real-TPU smoke" \
+    >/dev/null 2>&1 || true
+fi
 DATA=datasets/aloha_cube_phys4
 SEGS="$DATA/demos.hdf5,$DATA/demos_n3.hdf5,$DATA/demos_n5.hdf5"
 LATS="$DATA/demos_latent.hdf5,$DATA/demos_n3_latent.hdf5,$DATA/demos_n5_latent.hdf5"
@@ -64,6 +75,21 @@ python tools/process_latents.py vae_snapshot_path=experiments/$RUN/vae/ckpt/4000
   "dst_paths=[$LATS,$DATA/demos_eval_latent.hdf5]"
 fi
 
+# Deadline-aware training budget: when a round-end hard deadline is posted
+# (epoch seconds in /tmp/round5_hard_deadline), cap STEPS so train + the
+# 3x256-episode protocol sweep finish before it. Rate: phys3 trained the
+# same-shape LDP at ~39-52 steps/s (assets/runs/aloha_phys3/ldp/
+# train_tail.csv); budget at a conservative 30 steps/s, reserve 1800 s for
+# the sweep + snapshots, floor at 20k, round down to save_every (10k).
+if [ -f /tmp/round5_hard_deadline ]; then
+  _left=$(( $(cat /tmp/round5_hard_deadline) - $(date +%s) - 1800 ))
+  if [ "$_left" -gt 0 ]; then
+    _cap=$(( _left * 30 / 10000 * 10000 ))
+    [ "$_cap" -lt 20000 ] && _cap=20000
+    [ "$_cap" -lt "$STEPS" ] && { echo "deadline cap: STEPS $STEPS -> $_cap"; STEPS=$_cap; }
+  fi
+fi
+
 if [ ! -d experiments/$RUN/ldp/ckpt/$STEPS.ckpt ]; then
 python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
   "data.train_path=[$SEGS]" "data.train_latent_path=[$LATS]" \
@@ -87,11 +113,22 @@ python tools/train_bc.py agent=ldp_agent data=aloha_cube/latent_wrist256 \
   experiment_folder=$RUN experiment_name=ldp
 fi
 
-# protocol sweep on the last three checkpoints at the round-4 best knobs;
-# sweep_batch=3 fuses all three into one vmapped 768-episode device program
-# (falls back to sequential per-ckpt calls on any failure)
+# protocol sweep on the last (up to) three checkpoints at the round-4 best
+# knobs; sweep_batch fuses them into one vmapped device program (falls back
+# to sequential per-ckpt calls on any failure). Only steps with an existing
+# checkpoint make the list — the deadline cap can shrink the ladder.
+CKPTS=""
+NSW=0
+for s in $((STEPS-20000)) $((STEPS-10000)) $STEPS; do
+  if [ "$s" -gt 0 ] && [ -d experiments/$RUN/ldp/ckpt/$s.ckpt ]; then
+    CKPTS="$CKPTS,$s"; NSW=$((NSW+1))
+  fi
+done
+CKPTS=${CKPTS#,}
+if [ "$NSW" -gt 0 ]; then
 python tools/eval_bc.py run_dir=experiments/$RUN/ldp \
-  "ckpt_steps=[$((STEPS-20000)),$((STEPS-10000)),$STEPS]" \
-  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7 sweep_batch=3
+  "ckpt_steps=[$CKPTS]" \
+  n_eval_episodes=256 eval_action_horizon=1 plan_blend=0.7 sweep_batch=$NSW
+fi
 
 python tools/snapshot_run.py experiments/$RUN/vae experiments/$RUN/ldp
