@@ -36,6 +36,7 @@ python tools/train_bc.py agent=dp_agent data=lift/img \
   agent.n_diffusion_steps=50 agent.inference_steps=25 \
   horizon=8 pred_horizon=8 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  resume=true \
   $COMMON experiment_name=dp
 python tools/snapshot_run.py experiments/$RUN/dp
 fi
@@ -48,6 +49,7 @@ python tools/train_bc.py agent=dp_repr_agent data=lift/latent_img \
   agent.n_diffusion_steps=50 agent.inference_steps=25 \
   horizon=8 pred_horizon=8 \
   n_grad_steps=$STEPS eval_every=$((STEPS/2)) save_every=$((STEPS/2)) \
+  resume=true \
   $COMMON experiment_name=dp_vae
 python tools/snapshot_run.py experiments/$RUN/dp_vae
 fi

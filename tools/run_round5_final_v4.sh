@@ -42,11 +42,14 @@ if [ "$CAN_STEPS" -gt 0 ]; then
   bank "Round-5 queue: Can contact-physics pipeline end-to-end"
 fi
 
-# Square: only on a genuinely free tail.
+# Square: only on a genuinely free tail, budget scaled like Can.
 L=$(left)
-if [ "$L" -ge 3600 ]; then
-  stamp "square pipeline (STEPS=20000)"
-  STEPS=20000 timeout $(( $(left) - 240 )) \
+if   [ "$L" -ge 3600 ]; then SQ_STEPS=20000
+elif [ "$L" -ge 2400 ]; then SQ_STEPS=10000
+else SQ_STEPS=0; fi
+if [ "$SQ_STEPS" -gt 0 ]; then
+  stamp "square pipeline (STEPS=$SQ_STEPS)"
+  STEPS=$SQ_STEPS timeout $(( $(left) - 240 )) \
     bash tools/run_square_pipeline.sh > logs/r5_square.log 2>&1 || true
   bank "Round-5 queue: Square nut-assembly pipeline end-to-end"
 fi
