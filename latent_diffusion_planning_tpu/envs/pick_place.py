@@ -274,7 +274,10 @@ class CanEnv(_PickPlaceBase):
                               self.image_size, backend=self.renderer)
 
 
-PEG_POS = jnp.asarray([0.12, 0.12, TABLE_Z])
+PEG_X = 0.12    # python floats: the peg site is static geometry, and any
+PEG_Y = 0.12    # float() of a jnp constant inside a jit trace stages into
+                # the trace under omnistaging and raises ConcretizationError
+PEG_POS = jnp.asarray([PEG_X, PEG_Y, TABLE_Z])
 PEG_HALF_XY = 0.012
 PEG_HALF_Z = 0.05   # python float: used in static expressions under trace
 PEG_HALF = jnp.asarray([PEG_HALF_XY, PEG_HALF_XY, PEG_HALF_Z])
